@@ -1,0 +1,180 @@
+"""Typed configuration for the TPU-native SimCLR framework.
+
+Replaces the reference's single JSON blob (reference: utils/configs.json:1-39)
+that is re-loaded at import time by three different modules
+(reference: data.py:8-9, utils/model_utils.py:8-9, pretrain.py:65-66) with one
+frozen dataclass tree constructed explicitly and passed down. Every key of the
+reference config has a typed counterpart here; CLI entry points override
+fields via `replace()`.
+
+Defaults mirror reference utils/configs.json exactly where the semantics
+carry over (lr, temperature, dims, weight decay, ...). Host paths default to
+repo-local directories instead of the reference's hardcoded cluster paths
+(reference: utils/configs.json:31-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """SimCLR augmentation-stack parameters.
+
+    Mirrors reference utils/configs.json:2-5 ("augmentation_params") and the
+    hardcoded constants inside compose_augmentation_train
+    (reference: data.py:100-147).
+    """
+
+    # Strength s of the colour distortion; jitter = (0.8s, 0.8s, 0.8s, 0.2s)
+    # (reference: data.py:125-130).
+    color_distort_strength: float = 0.5
+    # Probability of random grayscale conversion (reference: data.py:133-135).
+    color_drop_prob: float = 0.2
+    # Probability of applying colour jitter at all (reference: data.py:131).
+    color_jitter_prob: float = 0.8
+    # Probability of a horizontal flip (reference: data.py:122-123).
+    flip_prob: float = 0.5
+    # Inception-style crop area range (torchvision RandomResizedCrop default,
+    # used at reference data.py:121).
+    crop_scale: Tuple[float, float] = (0.08, 1.0)
+    # Aspect-ratio range of the random crop (torchvision default 3/4..4/3).
+    crop_ratio: Tuple[float, float] = (0.75, 4.0 / 3.0)
+    # Gaussian-blur sigma range (torchvision GaussianBlur default, reference
+    # data.py:136-139). Kernel size is floor(0.1 * img_size), odd-snapped.
+    blur_sigma: Tuple[float, float] = (0.1, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """Per-dataset constants (reference: utils/configs.json:14-15, 29-30)."""
+
+    name: str = "cifar10"
+    img_size: int = 32
+    mean: Tuple[float, float, float] = (0.4914, 0.4822, 0.4465)
+    std: Tuple[float, float, float] = (0.2023, 0.1994, 0.2010)
+    num_classes: int = 10
+
+
+CIFAR10 = DatasetConfig(
+    name="cifar10",
+    img_size=32,
+    mean=(0.4914, 0.4822, 0.4465),
+    std=(0.2023, 0.1994, 0.2010),
+)
+
+STL10 = DatasetConfig(
+    name="stl10",
+    img_size=96,
+    mean=(0.4409, 0.4279, 0.3867),
+    std=(0.2683, 0.2610, 0.2686),
+)
+
+
+def dataset_config(name: str) -> DatasetConfig:
+    try:
+        return {"cifar10": CIFAR10, "stl10": STL10}[name]
+    except KeyError:
+        raise ValueError(f"unknown dataset {name!r}; choose cifar10 or stl10")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SimCLR model hyperparameters (reference: utils/configs.json:16-18, 28;
+    models/simclr.py:6-41)."""
+
+    # Encoder output width == input to projection head ("feature_dim").
+    feature_dim: int = 2048
+    # Projection output width ("compressed_dim").
+    compressed_dim: int = 128
+    # Number of projection-head layers (reference: models/simclr.py:11).
+    num_proj_layers: int = 2
+    # 'no_dropout' or 'dropout' (MC-dropout encoder,
+    # reference: models/resnets.py:116-152).
+    encoder: str = "no_dropout"
+    # MC-dropout probability ("drop_prob").
+    drop_prob: float = 0.3
+    # CIFAR-style 3x3/stride-1 stem without maxpool when True
+    # (reference: models/resnets.py:16-19, 26-27).
+    low_quality_img: bool = True
+    # Compute dtype for conv/matmul; params always float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer settings (reference: utils/configs.json:10, 20-22, 24-25)."""
+
+    lr: float = 1e-3                # Adam lr for pretraining.
+    wt_decay: float = 1e-6          # L2-into-gradient (torch Adam semantics).
+    lr_ssl: float = 0.02            # SGD lr for semi-supervised fine-tune.
+    momentum_ssl: float = 0.98      # Nesterov momentum for fine-tune.
+    mine_lr: float = 5e-4           # Adam lr for MINE.
+    reg_wt_lin_eval: float = 1e-3   # L2 penalty in linear eval.
+    lbfgs_max_iter: int = 20        # L-BFGS inner iterations per step.
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Pretraining-loop settings (reference: utils/configs.json:6-13, 19, 23,
+    26-27; pretrain.py:9-53)."""
+
+    n_epoch: int = 100
+    batch_size: int = 512           # True global batch (was 64*accum_steps=512).
+    micro_batch_size: int = 64      # Reference per-step batch ("batch_size_small").
+    accum_steps: int = 1            # >1 enables reference-parity grad accumulation
+    #                                 (reference: utils/model_utils.py:116-123).
+    temperature: float = 0.5
+    modified_loss: bool = False     # Probabilistic loss (reference: objective.py:58-98).
+    val_fraction: float = 0.2       # 80/20 split (reference: data.py:315-317).
+    save_ckpt: bool = True
+    save_ckpt_every: int = 50       # Epochs between checkpoints.
+    seed: int = 0                   # reference: pretrain.py:61 (torch.manual_seed(0)).
+    n_epoch_ssl: int = 30
+    ssl_label_size: float = 0.1     # Fraction of labels for fine-tune.
+    n_epoch_lin_eval: int = 100
+    mine_batch_size: int = 256
+    mine_hidden_dim: int = 512
+    log_every_fraction: float = 0.25  # print_every = len(loader)/4
+    #                                  (reference: utils/model_utils.py:105).
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Root config: the typed equivalent of reference utils/configs.json."""
+
+    dataset: DatasetConfig = CIFAR10
+    augment: AugmentConfig = AugmentConfig()
+    model: ModelConfig = ModelConfig()
+    optim: OptimConfig = OptimConfig()
+    train: TrainConfig = TrainConfig()
+    # Host paths (repo-local defaults; reference hardcodes cluster paths at
+    # utils/configs.json:31-38).
+    data_dir: str = "data"
+    out_dir: str = "results"
+    ckpt_dir: str = "checkpoints"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def for_dataset(name: str, **train_overrides) -> "Config":
+        ds = dataset_config(name)
+        cfg = Config(dataset=ds)
+        # STL-10 uses the standard 7x7/stride-2 stem (96x96 inputs):
+        # reference pretrain.py:77 passes low_quality_img=(dataset=='cifar10').
+        if name == "stl10":
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, low_quality_img=False)
+            )
+        if train_overrides:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, **train_overrides)
+            )
+        return cfg
