@@ -1,0 +1,188 @@
+"""Dataset decoding: CIFAR-10 / STL-10 binaries -> uint8 NHWC arrays.
+
+Replaces the reference's torchvision dataset classes + PIL decode path
+(reference: data.py:12-97 CIFAR10pair/STL10pair over torchvision
+datasets.CIFAR10/STL10). Design: decode the WHOLE dataset once into a single
+contiguous uint8 NHWC array (CIFAR-10 train is 150 MB, STL-10 unlabeled
+2.7 GB — both fit in TPU HBM), then do all sampling/augmentation on device.
+There are no per-sample Python datasets, no worker processes.
+
+Supported on-disk formats:
+  * CIFAR-10 python pickles  (cifar-10-batches-py/data_batch_*, test_batch)
+  * CIFAR-10 binary          (cifar-10-batches-bin/data_batch_*.bin)
+  * STL-10 binary            (stl10_binary/{train,test,unlabeled}_X.bin)
+
+When no on-disk copy exists (this build environment has no network egress),
+`load_dataset` falls back to a deterministic class-structured synthetic set so
+every pipeline stays runnable end-to-end; real data is picked up automatically
+once placed under `data_dir`. A fast C++ decoder for the binary formats lives
+in simclr_tpu/data/native (used when built; numpy fallback otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import warnings
+from typing import Optional, Tuple
+
+import numpy as np
+
+Arrays = Tuple[np.ndarray, np.ndarray]  # (images uint8 NHWC, labels int32)
+
+CIFAR10_CLASSES = (
+    "airplane automobile bird cat deer dog frog horse ship truck".split()
+)
+STL10_CLASSES = (
+    "airplane bird car cat deer dog horse monkey ship truck".split()
+)
+
+
+# ---------------------------------------------------------------------------
+# CIFAR-10
+# ---------------------------------------------------------------------------
+
+def _load_cifar10_python(batch_dir: str, train: bool) -> Arrays:
+    files = ([f"data_batch_{i}" for i in range(1, 6)] if train
+             else ["test_batch"])
+    imgs, labels = [], []
+    for name in files:
+        with open(os.path.join(batch_dir, name), "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        imgs.append(np.asarray(entry["data"], np.uint8))
+        labels.extend(entry.get("labels", entry.get("fine_labels")))
+    data = np.concatenate(imgs).reshape(-1, 3, 32, 32)
+    return (np.ascontiguousarray(data.transpose(0, 2, 3, 1)),
+            np.asarray(labels, np.int32))
+
+
+def _load_cifar10_binary(batch_dir: str, train: bool) -> Arrays:
+    files = ([f"data_batch_{i}.bin" for i in range(1, 6)] if train
+             else ["test_batch.bin"])
+    rows = []
+    for name in files:
+        raw = np.fromfile(os.path.join(batch_dir, name), np.uint8)
+        rows.append(raw.reshape(-1, 3073))  # 1 label byte + 3072 pixels
+    raw = np.concatenate(rows)
+    labels = raw[:, 0].astype(np.int32)
+    data = raw[:, 1:].reshape(-1, 3, 32, 32)
+    return np.ascontiguousarray(data.transpose(0, 2, 3, 1)), labels
+
+
+def load_cifar10(data_dir: str, train: bool = True) -> Optional[Arrays]:
+    py_dir = os.path.join(data_dir, "cifar-10-batches-py")
+    if os.path.isdir(py_dir):
+        return _load_cifar10_python(py_dir, train)
+    bin_dir = os.path.join(data_dir, "cifar-10-batches-bin")
+    if os.path.isdir(bin_dir):
+        return _load_cifar10_binary(bin_dir, train)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# STL-10
+# ---------------------------------------------------------------------------
+
+def load_stl10(data_dir: str, split: str = "unlabeled") -> Optional[Arrays]:
+    """split: 'train' | 'test' | 'unlabeled'. STL-10 stores CHW
+    *column-major within each channel* (i.e. transposed HW), which the
+    reference undoes with np.transpose(img, (1, 2, 0)) on CHW data after
+    torchvision's own reshape (reference: data.py:87)."""
+    base = os.path.join(data_dir, "stl10_binary")
+    x_path = os.path.join(base, f"{split}_X.bin")
+    if not os.path.isfile(x_path):
+        return None
+    raw = np.fromfile(x_path, np.uint8).reshape(-1, 3, 96, 96)
+    # Channels stored column-major: transpose each channel's axes, then CHW->HWC.
+    imgs = np.ascontiguousarray(raw.transpose(0, 3, 2, 1))
+    y_path = os.path.join(base, f"{split}_y.bin")
+    if os.path.isfile(y_path):
+        labels = np.fromfile(y_path, np.uint8).astype(np.int32) - 1  # 1-based
+    else:
+        labels = np.full((imgs.shape[0],), -1, np.int32)
+    return imgs, labels
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fallback
+# ---------------------------------------------------------------------------
+
+def synthetic_dataset(
+    n: int,
+    img_size: int = 32,
+    n_classes: int = 10,
+    seed: int = 0,
+) -> Arrays:
+    """Deterministic class-structured images.
+
+    Each class has a characteristic low-frequency colour pattern plus
+    per-sample noise and a random global shift, so that contrastive
+    pretraining, linear eval, and fine-tuning all have real signal to learn —
+    the pipelines behave qualitatively like on CIFAR, just easier.
+    """
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, n_classes, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
+    proto = np.stack(
+        [
+            np.stack(
+                [
+                    np.sin(2 * np.pi * ((c % 3 + 1) * xx + c)) * 0.5 + 0.5,
+                    np.cos(2 * np.pi * ((c % 4 + 1) * yy - c)) * 0.5 + 0.5,
+                    np.sin(2 * np.pi * ((c % 5 + 1) * (xx + yy))) * 0.5 + 0.5,
+                ],
+                axis=-1,
+            )
+            for c in range(n_classes)
+        ]
+    )  # (C, H, W, 3)
+    imgs = proto[labels]
+    imgs = imgs + rng.randn(n, 1, 1, 3) * 0.15  # per-sample colour shift
+    imgs = imgs + rng.randn(n, img_size, img_size, 3) * 0.08
+    return (np.clip(imgs * 255.0, 0, 255).astype(np.uint8), labels)
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+_SYNTH_SIZES = {
+    ("cifar10", "train"): 50_000,
+    ("cifar10", "test"): 10_000,
+    ("stl10", "train"): 5_000,
+    ("stl10", "test"): 8_000,
+    ("stl10", "unlabeled"): 100_000,
+}
+
+
+def load_dataset(
+    name: str,
+    split: str,
+    data_dir: str = "data",
+    synthetic_ok: bool = True,
+    synthetic_size: Optional[int] = None,
+) -> Arrays:
+    """Load `name` in {'cifar10','stl10'}, split in
+    {'train','test','unlabeled'} (unlabeled is STL-only)."""
+    if name == "cifar10":
+        out = load_cifar10(data_dir, train=split == "train")
+        img_size = 32
+    elif name == "stl10":
+        out = load_stl10(data_dir, split=split)
+        img_size = 96
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+    if out is not None:
+        return out
+    if not synthetic_ok:
+        raise FileNotFoundError(
+            f"no on-disk copy of {name}/{split} under {data_dir!r}")
+    n = synthetic_size or _SYNTH_SIZES.get((name, split), 10_000)
+    warnings.warn(
+        f"{name}/{split} not found under {data_dir!r}; using a synthetic "
+        f"stand-in with {n} samples (place the real binaries there to use "
+        "them automatically)."
+    )
+    # Distinct seeds per (name, split) so train/test don't overlap.
+    seed = abs(hash((name, split))) % (2 ** 31)
+    return synthetic_dataset(n, img_size=img_size, seed=seed)
