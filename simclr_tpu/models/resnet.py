@@ -153,12 +153,15 @@ class SupervisedResNet(nn.Module):
 
     num_classes: int = 10
     low_quality_img: bool = True
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
     dtype: Any = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = ResNetEncoder(low_quality_img=self.low_quality_img,
+        h = ResNetEncoder(stage_sizes=self.stage_sizes, width=self.width,
+                          low_quality_img=self.low_quality_img,
                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

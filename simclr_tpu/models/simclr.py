@@ -31,6 +31,8 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         # reference: models/simclr.py:19-25 raises NotImplementedError.
         raise NotImplementedError(f"unknown encoder_model {cfg.encoder!r}")
     return ResNetEncoder(
+        stage_sizes=cfg.stage_sizes,
+        width=cfg.width,
         low_quality_img=cfg.low_quality_img,
         mc_dropout=cfg.encoder == "dropout",
         drop_prob=cfg.drop_prob,

@@ -252,17 +252,16 @@ def rgb_to_hsv(images: Array) -> Array:
 
 
 def hsv_to_rgb(images: Array) -> Array:
+    # Branch-free formula: channel(n) = v - v*s*clip(min(k, 4-k, 1), 0, 1)
+    # with k = (n + 6h) mod 6 — pure VPU arithmetic, no selects/gathers.
     h, s, v = images[..., 0], images[..., 1], images[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+    h6 = h * 6.0
+
+    def channel(n):
+        k = (n + h6) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
 
 
 def adjust_hue(images: Array, delta: Array) -> Array:

@@ -144,27 +144,42 @@ def modified_contrastive_loss(
     return loss, acc
 
 
+def log_mean_exp(t: jnp.ndarray) -> jnp.ndarray:
+    """log(mean(exp(t))) via logsumexp — never overflows."""
+    return jax.nn.logsumexp(t) - jnp.log(t.size)
+
+
 def mine_loss(
     t_joint: jnp.ndarray,
     t_marginal: jnp.ndarray,
-    last_ma: Optional[jnp.ndarray],
+    last_log_ma: Optional[jnp.ndarray],
     ma_rate: float = 1e-2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Donsker-Varadhan MI bound with EMA-debiased gradient.
 
-    Fidelity target: reference mine.py:97-109. ``t_*`` are the statistics
-    network outputs T(samples) of shape (N, 1). Pass ``last_ma=None`` on the
-    first step (EMA initialized to mean(exp(t_marginal))).
+    Fidelity target: reference mine.py:97-109 — same math, but computed in
+    LOG space: the reference's mean(exp(T)) overflows float32 once T
+    exceeds ~88 (observed in practice on 2048-d features), so the moving
+    average is carried as log(ma) and the debiased term is
+    exp(log_mean_et - stop_grad(log_ma)), whose gradient
+    et_i / (N * ma) is identical to the reference's formulation.
 
-    Returns (surrogate loss, MI lower bound, new EMA state).
+    ``t_*`` are statistics-network outputs of shape (N, 1). Pass
+    ``last_log_ma=None`` on the first step (EMA initialized to mean(et),
+    i.e. log_ma = log_mean_et).
+
+    Returns (surrogate loss, MI lower bound, new log-EMA state).
     """
     t = t_joint
-    et = jnp.exp(t_marginal)
-    mean_et = jnp.mean(et)
-    mi_lower_bound = jnp.mean(t) - jnp.log(mean_et)
-    if last_ma is None:
-        ma_et = mean_et
+    log_mean_et = log_mean_exp(t_marginal)
+    mi_lower_bound = jnp.mean(t) - log_mean_et
+    if last_log_ma is None:
+        log_ma = log_mean_et
     else:
-        ma_et = (1.0 - ma_rate) * last_ma + ma_rate * mean_et
-    loss = -(jnp.mean(t) - mean_et / jax.lax.stop_gradient(ma_et))
-    return loss, mi_lower_bound, ma_et
+        # log((1-r) * ma + r * mean_et), all in log space.
+        log_ma = jnp.logaddexp(
+            last_log_ma + jnp.log1p(-ma_rate),
+            log_mean_et + jnp.log(ma_rate))
+    debias = jnp.exp(log_mean_et - jax.lax.stop_gradient(log_ma))
+    loss = -(jnp.mean(t) - debias)
+    return loss, mi_lower_bound, log_ma

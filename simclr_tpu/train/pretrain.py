@@ -1,0 +1,280 @@
+"""SimCLR pretraining engine.
+
+TPU-native counterpart of reference utils/model_utils.py:41-173
+(train_simclr) + :12-38 (test_auxi_classification) driven by pretrain.py.
+Architecture (not a port):
+
+  * The ENTIRE epoch is one jitted `lax.scan` over an on-device index
+    matrix: each scan step fuses batch gather -> two-view augmentation ->
+    encoder/projection forward -> NT-Xent -> backward -> Adam update. After
+    startup the host only dispatches one call per epoch; there are no
+    per-batch host->device copies (the reference pays one per micro-batch,
+    model_utils.py:111-112, plus PIL augmentation in worker processes).
+  * Two views are augmented and concatenated into a single 2N forward pass
+    (better MXU utilization; also how the original SimCLR TF implementation
+    batches views). `two_pass_views=True` reproduces the reference's two
+    sequential forwards with per-view BN statistics
+    (model_utils.py:113-114) for parity experiments.
+  * Under a data mesh the batch is sharded; XLA all-gathers the 128-d
+    embeddings for the global 2Nx2N similarity — true large-batch negatives
+    replacing gradient accumulation (kept available via accum_steps for
+    parity, model_utils.py:116-123).
+  * Determinism: one JAX PRNG key threads epoch -> step -> view -> op
+    randomness; no global seeds.
+
+Checkpoint/resume parity: resumable Orbax checkpoints with epoch, optimizer
+state and metric history every `save_ckpt_every` epochs
+(model_utils.py:141-154), and a final msgpack inference artifact
+(model_utils.py:165-173's TorchScript analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simclr_tpu.config import Config
+from simclr_tpu.data.pipeline import (
+    DeviceDataset, Split, epoch_permutation, make_split)
+from simclr_tpu.models.simclr import SimCLR
+from simclr_tpu.ops.augment import augment_train_pair
+from simclr_tpu.ops.losses import modified_contrastive_loss, nt_xent_loss
+from simclr_tpu.parallel.mesh import put_replicated, shard_batch
+from simclr_tpu.train.common import (
+    History, TrainState, adam_torch, with_grad_accumulation)
+from simclr_tpu.utils import checkpoint as ckpt_lib
+
+
+@dataclasses.dataclass
+class PretrainEngine:
+    """Compiled epoch-granular train/eval functions plus bookkeeping."""
+
+    cfg: Config
+    model: SimCLR
+    tx: Any
+    train_epoch: Callable  # (state, images, idx_mat, key) -> (state, metrics)
+    eval_epoch: Callable   # (state, images, idx_mat, key) -> metrics
+    mesh: Any = None
+
+
+def contrastive_fn(cfg: Config):
+    """Loss selector (reference: utils/model_utils.py:90-98)."""
+    if cfg.train.modified_loss:
+        return lambda z1, z2: modified_contrastive_loss(
+            z1, z2, cfg.train.temperature)
+    return lambda z1, z2: nt_xent_loss(
+        z1, z2, cfg.train.temperature, normalize=True)
+
+
+def init_simclr(cfg: Config, key: jax.Array,
+                mesh=None) -> Tuple[SimCLR, TrainState, Any]:
+    model = SimCLR(cfg=cfg.model)
+    fake = jnp.zeros(
+        (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
+    k_p, k_d = jax.random.split(key)
+    variables = model.init(
+        {"params": k_p, "dropout": k_d}, fake, train=False)
+    tx = with_grad_accumulation(
+        adam_torch(cfg.optim.lr, cfg.optim.wt_decay),
+        cfg.train.accum_steps)
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx)
+    if mesh is not None:
+        state = put_replicated(state, mesh)
+    return model, state, tx
+
+
+def _forward_pair(model, params, batch_stats, v1, v2, drop_key,
+                  train, two_pass):
+    """Forward both views; returns (z1, z2, new_batch_stats)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": drop_key}
+    if two_pass:
+        # Reference semantics: sequential forwards, each with its own BN
+        # batch statistics (model_utils.py:113-114).
+        (_, z1), up1 = model.apply(
+            variables, v1, train=train, mutable=["batch_stats"], rngs=rngs)
+        variables = {"params": params, "batch_stats": up1["batch_stats"]}
+        (_, z2), up2 = model.apply(
+            variables, v2, train=train, mutable=["batch_stats"], rngs=rngs)
+        return z1, z2, up2["batch_stats"]
+    x = jnp.concatenate([v1, v2], axis=0)
+    (_, z), up = model.apply(
+        variables, x, train=train, mutable=["batch_stats"], rngs=rngs)
+    z1, z2 = jnp.split(z, 2, axis=0)
+    return z1, z2, up["batch_stats"]
+
+
+def build_engine(cfg: Config, model: SimCLR, tx,
+                 mesh=None, two_pass_views: bool = False) -> PretrainEngine:
+    aug, ds_cfg = cfg.augment, cfg.dataset
+    loss_fn = contrastive_fn(cfg)
+    accum = max(cfg.train.accum_steps, 1)
+
+    def train_step(state: TrainState, images, idx, key):
+        k_aug, k_drop = jax.random.split(key)
+        batch = jnp.take(images, idx, axis=0)
+        v1, v2 = augment_train_pair(k_aug, batch, aug, ds_cfg)
+        v1, v2 = shard_batch(v1, mesh), shard_batch(v2, mesh)
+
+        def objective(params):
+            z1, z2, new_stats = _forward_pair(
+                model, params, state.batch_stats, v1, v2, k_drop,
+                train=True, two_pass=two_pass_views)
+            loss, acc = loss_fn(z1, z2)
+            return loss, (acc, new_stats)
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, step=state.step + 1)
+        # History-parity: the reference logs loss / accum_steps
+        # (model_utils.py:116-117).
+        return new_state, (loss / accum, acc)
+
+    def eval_step(state: TrainState, images, idx, key):
+        # test_auxi_classification parity (model_utils.py:12-38): eval-mode
+        # forwards over augmented validation pairs; loss / accum_steps.
+        k_aug, k_drop = jax.random.split(key)
+        batch = jnp.take(images, idx, axis=0)
+        v1, v2 = augment_train_pair(k_aug, batch, aug, ds_cfg)
+        v1, v2 = shard_batch(v1, mesh), shard_batch(v2, mesh)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        rngs = {"dropout": k_drop}
+        _, z1 = model.apply(variables, v1, train=False, rngs=rngs)
+        _, z2 = model.apply(variables, v2, train=False, rngs=rngs)
+        loss, acc = loss_fn(z1, z2)
+        return loss / accum, acc
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_epoch(state, images, idx_mat, key):
+        keys = jax.random.split(key, idx_mat.shape[0])
+
+        def body(carry, xs):
+            idx, k = xs
+            new_carry, metrics = train_step(carry, images, idx, k)
+            return new_carry, metrics
+
+        return jax.lax.scan(body, state, (idx_mat, keys))
+
+    @jax.jit
+    def eval_epoch(state, images, idx_mat, key):
+        keys = jax.random.split(key, idx_mat.shape[0])
+
+        def body(_, xs):
+            idx, k = xs
+            return None, eval_step(state, images, idx, k)
+
+        _, (losses, accs) = jax.lax.scan(body, None, (idx_mat, keys))
+        return jnp.mean(losses), jnp.mean(accs)
+
+    return PretrainEngine(cfg=cfg, model=model, tx=tx,
+                          train_epoch=train_epoch, eval_epoch=eval_epoch,
+                          mesh=mesh)
+
+
+@dataclasses.dataclass
+class PretrainResult:
+    state: TrainState
+    history: History
+    export_path: Optional[str]
+    steps_per_sec: float
+
+
+def pretrain(
+    cfg: Config,
+    split: Optional[Split] = None,
+    mesh=None,
+    resume_from: Optional[str] = None,
+    two_pass_views: bool = False,
+    log: Callable[[str], None] = print,
+    save_checkpoints: Optional[bool] = None,
+    export_path: Optional[str] = None,
+) -> PretrainResult:
+    """Full pretraining driver (reference: pretrain.py:56-94 +
+    utils/model_utils.py:41-173)."""
+    tcfg = cfg.train
+    root_key = jax.random.key(tcfg.seed)
+    k_init, k_data = jax.random.split(jax.random.fold_in(root_key, 0))
+
+    if split is None:
+        split = make_split(cfg, "pretrain")
+    model, state, tx = init_simclr(cfg, k_init, mesh)
+    engine = build_engine(cfg, model, tx, mesh, two_pass_views)
+
+    history = History()
+    start_epoch = 0
+    if resume_from:
+        # Reference resume: model + optimizer + epoch + histories
+        # (model_utils.py:75-86).
+        state, meta = ckpt_lib.load_checkpoint(resume_from, state)
+        history = History.from_dict(meta.get("history"))
+        start_epoch = meta["epoch"] + 1
+        log(f"resumed from {resume_from} at epoch {start_epoch}")
+
+    if save_checkpoints is None:
+        save_checkpoints = tcfg.save_ckpt
+    batch = tcfg.batch_size
+    steps_per_epoch = split.train.n // batch
+    print_every = max(
+        int(steps_per_epoch * tcfg.log_every_fraction), 1)
+
+    total_steps = 0
+    t_train = 0.0
+    for epoch in range(start_epoch, tcfg.n_epoch):
+        k_epoch = jax.random.fold_in(k_data, epoch)
+        k_perm, k_steps, k_eval = jax.random.split(k_epoch, 3)
+        idx_mat = epoch_permutation(k_perm, split.train.n, batch)
+
+        t0 = time.perf_counter()
+        state, (losses, accs) = engine.train_epoch(
+            state, split.train.images, idx_mat, k_steps)
+        losses, accs = np.asarray(losses), np.asarray(accs)
+        t_train += time.perf_counter() - t0
+        total_steps += steps_per_epoch
+
+        for s in range(0, steps_per_epoch, print_every):
+            log(f"Epoch: {epoch + 1} | Iteration {s} | "
+                f"Loss = {losses[s]:.4f} | Accuracy = {accs[s]:.4f}%")
+        history.append("train", losses.mean(), accs.mean())
+
+        if split.val is not None and split.val.n >= batch:
+            v_idx = epoch_permutation(k_eval, split.val.n, batch)
+            v_loss, v_acc = engine.eval_epoch(
+                state, split.val.images, v_idx, k_eval)
+            log(f"Epoch: {epoch + 1} | avg valid loss: "
+                f"{float(v_loss):.4f} | avg valid accuracy: "
+                f"{float(v_acc):.4f}%")
+            history.append("valid", float(v_loss), float(v_acc))
+
+        if save_checkpoints and (epoch + 1) % tcfg.save_ckpt_every == 0:
+            path = ckpt_lib.save_checkpoint(
+                cfg.ckpt_dir, epoch, state, history.to_dict())
+            log(f"checkpoint saved: {path}")
+
+    final_export = None
+    if export_path is not None or tcfg.n_epoch > start_epoch:
+        final_export = export_path or os.path.join(
+            cfg.out_dir,
+            f"simclr_{'mod_loss_' if tcfg.modified_loss else ''}"
+            f"bs{batch}_nepoch{tcfg.n_epoch}_{cfg.dataset.name}_"
+            f"temp{str(tcfg.temperature).replace('.', '')}.msgpack")
+        ckpt_lib.export_model(
+            final_export, state.params, state.batch_stats, cfg.to_json())
+        log(f"exported model: {final_export}")
+
+    sps = total_steps / t_train if t_train > 0 else 0.0
+    return PretrainResult(state=state, history=history,
+                          export_path=final_export, steps_per_sec=sps)

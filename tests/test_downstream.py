@@ -1,0 +1,224 @@
+"""End-to-end tests for linear eval, SSL fine-tune, supervised baseline,
+and MINE on tiny models + synthetic data."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simclr_tpu.config import Config, ModelConfig, TrainConfig
+from simclr_tpu.data.datasets import synthetic_dataset
+from simclr_tpu.data.pipeline import DeviceDataset, Split
+from simclr_tpu.models.simclr import SimCLR
+from simclr_tpu.train.lin_eval import (
+    evaluate_linear,
+    extract_features,
+    linear_evaluation,
+    train_linear_classifier,
+)
+from simclr_tpu.train.mine import train_mine, train_mine_from_export
+from simclr_tpu.train.pretrain import pretrain
+from simclr_tpu.train.ssl import train_ssl
+from simclr_tpu.train.supervised import train_supervised
+
+TINY_MODEL = ModelConfig(
+    feature_dim=64, compressed_dim=16, stage_sizes=(1, 1, 1, 1), width=2)
+
+QUIET = staticmethod(lambda msg: None)
+
+
+def tiny_cfg(tmp_path, **train_kw):
+    kw = dict(n_epoch=1, batch_size=16, micro_batch_size=16,
+              save_ckpt=False, mine_batch_size=32, mine_hidden_dim=32)
+    kw.update(train_kw)
+    return Config(
+        model=TINY_MODEL, train=TrainConfig(**kw),
+        data_dir=str(tmp_path / "data"), out_dir=str(tmp_path / "out"),
+        ckpt_dir=str(tmp_path / "ckpt"))
+
+
+def make_ds(n, seed):
+    imgs, labels = synthetic_dataset(n, img_size=32, seed=seed)
+    return DeviceDataset.from_numpy(imgs, labels)
+
+
+@pytest.fixture(scope="module")
+def pretrained(tmp_path_factory):
+    """A briefly-pretrained tiny SimCLR + its export."""
+    tmp = tmp_path_factory.mktemp("pre")
+    cfg = tiny_cfg(tmp, n_epoch=2)
+    imgs, labels = synthetic_dataset(96, img_size=32, seed=0)
+    split = Split(DeviceDataset.from_numpy(imgs[:80], labels[:80]),
+                  DeviceDataset.from_numpy(imgs[80:], labels[80:]))
+    res = pretrain(cfg, split=split, log=lambda m: None)
+    return cfg, res
+
+
+class TestLinEval:
+    def test_extract_features_shapes(self, pretrained):
+        cfg, res = pretrained
+        ds = make_ds(40, seed=1)
+        model = SimCLR(cfg=cfg.model)
+        feats, targs = extract_features(
+            model, res.state.params, res.state.batch_stats, ds, cfg,
+            batch_size=16)
+        assert feats.shape == (40, 64)
+        assert targs.shape == (40,)
+
+    def test_lbfgs_separates_separable_data(self):
+        """L-BFGS linear head must fit linearly-separable features."""
+        rng = np.random.RandomState(0)
+        centers = rng.randn(4, 32) * 4
+        labels = rng.randint(0, 4, size=200)
+        feats = centers[labels] + rng.randn(200, 32) * 0.3
+        clf, trace = train_linear_classifier(
+            jnp.asarray(feats, jnp.float32), jnp.asarray(labels),
+            reg_weight=1e-3, n_steps=3, max_iter=20, n_class=4,
+            log=lambda m: None)
+        loss, acc = evaluate_linear(
+            clf, jnp.asarray(feats, jnp.float32), jnp.asarray(labels))
+        assert acc > 95.0
+        assert trace[-1] < trace[0]
+
+    def test_full_linear_evaluation(self, pretrained):
+        cfg, res = pretrained
+        model = SimCLR(cfg=cfg.model)
+        loss, acc = linear_evaluation(
+            model, res.state.params, res.state.batch_stats,
+            make_ds(120, seed=2), make_ds(60, seed=3),
+            cfg.replace(train=dataclasses.replace(
+                cfg.train, n_epoch_lin_eval=2)),
+            log=lambda m: None)
+        # Synthetic classes are nearly linearly separable from pixels, so
+        # even a briefly-trained tiny encoder should beat chance (10%).
+        assert acc > 20.0
+        assert np.isfinite(loss)
+
+
+class TestSSL:
+    def test_finetune_loads_pretrained_and_learns(self, pretrained,
+                                                  tmp_path):
+        cfg, res = pretrained
+        result = train_ssl(
+            cfg, make_ds(100, seed=4), val_ds=make_ds(32, seed=5),
+            test_ds=make_ds(32, seed=6),
+            pretrained_path=res.export_path, n_epochs=2,
+            log=lambda m: None)
+        assert len(result.history.loss["train"]) == 2
+        assert result.test_acc is not None and result.test_acc > 5.0
+
+    def test_weighted_sampling_draws_10pct(self, pretrained):
+        cfg, _ = pretrained
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, ssl_label_size=0.5, micro_batch_size=8))
+        result = train_ssl(cfg, make_ds(64, seed=7), n_epochs=1,
+                           log=lambda m: None)
+        assert len(result.history.loss["train"]) == 1
+
+    def test_early_stopping(self, pretrained):
+        cfg, res = pretrained
+        result = train_ssl(
+            cfg, make_ds(64, seed=8), val_ds=make_ds(32, seed=9),
+            pretrained_path=res.export_path, n_epochs=10, patience=1,
+            log=lambda m: None)
+        # With patience 1 on a tiny model, training must stop well short
+        # of 10 epochs or keep a best accuracy.
+        assert len(result.history.loss["train"]) <= 10
+        assert result.best_acc > 0
+
+
+class TestSupervised:
+    def test_supervised_trains(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, micro_batch_size=16)
+        result = train_supervised(
+            cfg, make_ds(64, seed=10), val_ds=make_ds(32, seed=11),
+            test_ds=make_ds(32, seed=12), n_epochs=2,
+            log=lambda m: None)
+        assert len(result.history.loss["train"]) == 2
+        assert result.test_acc is not None
+
+
+class TestMine:
+    def test_mine_net_recovers_known_mi(self):
+        """Gold-standard check of the estimator itself: for correlated
+        Gaussians (y = x + noise) the DV bound must converge toward the
+        analytic MI = 0.5*log(1 + var_x/var_n) per dimension."""
+        import optax
+
+        from simclr_tpu.models.mine import MineNet
+        from simclr_tpu.ops.losses import mine_loss
+
+        rng = np.random.RandomState(0)
+        d = 4
+        mine = MineNet(hidden_size=64)
+        params = mine.init(
+            jax.random.key(0), jnp.zeros((2, 2 * d)))["params"]
+        tx = optax.adam(5e-3)
+        opt_state = tx.init(params)
+        ma = None
+        true_mi = d * 0.5 * np.log(1 + 1.0 / 0.5)
+
+        @jax.jit
+        def step(params, opt_state, ma, joint, marginal):
+            def obj(p):
+                t_j = mine.apply({"params": p}, joint)
+                t_m = mine.apply({"params": p}, marginal)
+                loss, mi, new_ma = mine_loss(t_j, t_m, ma, 1e-2)
+                return loss, (mi, new_ma)
+
+            (_, (mi, new_ma)), grads = jax.value_and_grad(
+                obj, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, \
+                new_ma, mi
+
+        mi = 0.0
+        for i in range(400):
+            x = rng.randn(128, d).astype(np.float32)
+            y = x + rng.randn(128, d).astype(np.float32) * np.sqrt(0.5)
+            y_m = rng.randn(128, d).astype(np.float32) \
+                + rng.randn(128, d).astype(np.float32) * np.sqrt(0.5)
+            joint = jnp.concatenate(
+                [jnp.asarray(x), jnp.asarray(y)], axis=1)
+            marginal = jnp.concatenate(
+                [jnp.asarray(x), jnp.asarray(y_m)], axis=1)
+            if ma is None:  # first step initializes the log-EMA eagerly
+                from simclr_tpu.ops.losses import log_mean_exp
+
+                t_m = mine.apply({"params": params}, marginal)
+                ma = log_mean_exp(t_m)
+            params, opt_state, ma, mi = step(
+                params, opt_state, ma, joint, marginal)
+        # Must find a decent fraction of the true MI (2.2 nats).
+        assert float(mi) > 0.3 * true_mi
+
+    def test_mine_pipeline_runs(self, pretrained):
+        """Full pipeline over a frozen encoder: finite traces, loss
+        decreasing in trend."""
+        cfg, res = pretrained
+        result = train_mine(
+            cfg, make_ds(128, seed=13),
+            res.state.params, res.state.batch_stats,
+            n_iter=200, batch_size=32, hidden_size=32,
+            log=lambda m: None)
+        assert np.isfinite(result.loss_trace).all()
+        assert np.isfinite(result.final_mi)
+
+    def test_mine_orig_mode(self, pretrained):
+        cfg, res = pretrained
+        result = train_mine(
+            cfg, make_ds(64, seed=14),
+            res.state.params, res.state.batch_stats,
+            n_iter=50, batch_size=16, hidden_size=16,
+            mi_between_repr=False, log=lambda m: None)
+        assert np.isfinite(result.loss_trace).all()
+
+    def test_mine_from_export(self, pretrained):
+        cfg, res = pretrained
+        result = train_mine_from_export(
+            cfg, make_ds(64, seed=15), res.export_path,
+            n_iter=50, batch_size=16, hidden_size=16,
+            log=lambda m: None)
+        assert np.isfinite(result.mi_trace).all()

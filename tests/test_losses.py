@@ -114,38 +114,42 @@ def test_softplus_beta_threshold_tail():
 
 
 def test_mine_loss_matches_torch():
-    """Oracle restating reference mine.py:97-109."""
+    """Oracle restating reference mine.py:97-109. Our implementation
+    carries the EMA in LOG space (overflow-proof), so the oracle's linear
+    EMA is compared through log/exp."""
     rng = np.random.RandomState(3)
     tj = rng.randn(64, 1).astype(np.float32)
     tm = rng.randn(64, 1).astype(np.float32)
 
     # First step: last_ma=None.
-    loss, mi, ma = mine_loss(jnp.asarray(tj), jnp.asarray(tm), None, 5e-2)
+    loss, mi, log_ma = mine_loss(
+        jnp.asarray(tj), jnp.asarray(tm), None, 5e-2)
     t, et = torch.from_numpy(tj), torch.exp(torch.from_numpy(tm))
     t_mi = (t.mean() - torch.log(et.mean())).item()
     t_ma = et.mean().item()
     t_loss = -(t.mean() - et.mean() / et.mean().detach()).item()
     np.testing.assert_allclose(float(mi), t_mi, rtol=1e-5)
-    np.testing.assert_allclose(float(ma), t_ma, rtol=1e-5)
+    np.testing.assert_allclose(float(jnp.exp(log_ma)), t_ma, rtol=1e-5)
     np.testing.assert_allclose(float(loss), t_loss, rtol=1e-5, atol=1e-6)
 
     # Subsequent step: EMA update (1-r)*last + r*mean(et).
-    loss2, _, ma2 = mine_loss(
-        jnp.asarray(tj), jnp.asarray(tm), jnp.asarray(0.7, jnp.float32), 5e-2
-    )
+    loss2, _, log_ma2 = mine_loss(
+        jnp.asarray(tj), jnp.asarray(tm),
+        jnp.log(jnp.asarray(0.7, jnp.float32)), 5e-2)
     t_ma2 = (1 - 5e-2) * 0.7 + 5e-2 * et.mean().item()
     t_loss2 = -(t.mean().item() - et.mean().item() / t_ma2)
-    np.testing.assert_allclose(float(ma2), t_ma2, rtol=1e-5)
+    np.testing.assert_allclose(float(jnp.exp(log_ma2)), t_ma2, rtol=1e-5)
     np.testing.assert_allclose(float(loss2), t_loss2, rtol=1e-5)
 
 
 def test_mine_loss_gradient_uses_ema_not_log():
-    """The surrogate's et-gradient must be scaled by 1/EMA, not 1/mean(et)."""
+    """The surrogate's et-gradient must be scaled by 1/EMA, not 1/mean(et)
+    — identical to the reference formulation despite the log-space EMA."""
     tj = jnp.zeros((4, 1))
     tm = jnp.ones((4, 1)) * 0.5
 
     def surrogate(x):
-        loss, _, _ = mine_loss(tj, x, jnp.asarray(2.0), 0.1)
+        loss, _, _ = mine_loss(tj, x, jnp.log(jnp.asarray(2.0)), 0.1)
         return loss
 
     g = jax.grad(surrogate)(tm)
@@ -153,6 +157,18 @@ def test_mine_loss_gradient_uses_ema_not_log():
     ma = 0.9 * 2.0 + 0.1 * float(np.exp(0.5))
     expect = np.exp(0.5) / (4 * ma)
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5)
+
+
+def test_mine_loss_no_overflow_at_large_t():
+    """T values past the fp32 exp-overflow point must stay finite (the
+    failure mode observed at full scale: exp(T) -> inf -> NaN)."""
+    tj = jnp.full((8, 1), 150.0)
+    tm = jnp.full((8, 1), 120.0)
+    loss, mi, log_ma = mine_loss(tj, tm, None, 5e-2)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(mi)) and abs(float(mi) - 30.0) < 1e-3
+    loss2, mi2, log_ma2 = mine_loss(tj, tm, log_ma, 5e-2)
+    assert np.isfinite(float(loss2)) and np.isfinite(float(log_ma2))
 
 
 def test_cross_entropy_class_weight_semantics():
