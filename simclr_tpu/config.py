@@ -106,6 +106,11 @@ class ModelConfig:
     low_quality_img: bool = True
     # Compute dtype for conv/matmul; params always float32.
     compute_dtype: str = "bfloat16"
+    # BatchNorm application dtype. Statistics are always accumulated in
+    # float32 inside flax; applying the normalization in bfloat16 keeps the
+    # scale/shift fusable into the conv epilogue (measured -20% step time
+    # on v5e vs float32 application).
+    bn_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,17 +96,21 @@ class ResNetEncoder(nn.Module):
     mc_dropout: bool = False
     drop_prob: float = 0.3
     dtype: Any = jnp.bfloat16
+    # BN application dtype (statistics always accumulate in float32 inside
+    # flax); bfloat16 keeps the scale/shift fusable into conv epilogues.
+    bn_dtype: Any = jnp.bfloat16
     # Axis name for cross-replica BN stat syncing under shard_map; None means
     # stats over whatever batch this trace sees (global batch under pjit).
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # float32 BN with torch-parity momentum/eps (torch momentum 0.1 ==
-        # flax momentum 0.9) — reference BN defaults via torchvision.
+        # torch-parity momentum/eps (torch momentum 0.1 == flax momentum
+        # 0.9) — reference BN defaults via torchvision. Statistics are
+        # accumulated in float32 regardless of bn_dtype.
         norm = lambda **kw: nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+            momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             axis_name=self.bn_axis_name, **kw)
 
         x = x.astype(self.dtype)
@@ -156,12 +160,14 @@ class SupervisedResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         h = ResNetEncoder(stage_sizes=self.stage_sizes, width=self.width,
                           low_quality_img=self.low_quality_img,
-                          dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                          dtype=self.dtype, bn_dtype=self.bn_dtype,
+                          bn_axis_name=self.bn_axis_name,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

@@ -37,6 +37,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         mc_dropout=cfg.encoder == "dropout",
         drop_prob=cfg.drop_prob,
         dtype=jnp.dtype(cfg.compute_dtype),
+        bn_dtype=jnp.dtype(cfg.bn_dtype),
         bn_axis_name=bn_axis_name,
         name=name,
     )
@@ -51,13 +52,14 @@ class ProjectionHead(nn.Module):
     mc_dropout: bool = False
     drop_prob: float = 0.3
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, train: bool = True):
         norm = lambda **kw: nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+            momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             axis_name=self.bn_axis_name, **kw)
         x = h.astype(self.dtype)
         for i in range(self.num_layers - 1):
@@ -93,6 +95,7 @@ class SimCLR(nn.Module):
             mc_dropout=self.cfg.encoder == "dropout",
             drop_prob=self.cfg.drop_prob,
             dtype=jnp.dtype(self.cfg.compute_dtype),
+            bn_dtype=jnp.dtype(self.cfg.bn_dtype),
             bn_axis_name=self.bn_axis_name,
             name="g",
         )(h, train=train)
@@ -123,6 +126,7 @@ class SimCLRFineTune(nn.Module):
             mc_dropout=self.cfg.encoder == "dropout",
             drop_prob=self.cfg.drop_prob,
             dtype=jnp.dtype(self.cfg.compute_dtype),
+            bn_dtype=jnp.dtype(self.cfg.bn_dtype),
             bn_axis_name=self.bn_axis_name,
             name="g",
         )(jax.lax.stop_gradient(h), train=False)

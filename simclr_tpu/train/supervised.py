@@ -59,7 +59,8 @@ def train_supervised(
         low_quality_img=cfg.model.low_quality_img,
         stage_sizes=cfg.model.stage_sizes,
         width=cfg.model.width,
-        dtype=jnp.dtype(cfg.model.compute_dtype))
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+        bn_dtype=jnp.dtype(cfg.model.bn_dtype))
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
     variables = model.init({"params": k_init}, fake, train=False)
