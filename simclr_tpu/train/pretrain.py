@@ -64,11 +64,30 @@ class PretrainEngine:
     mesh: Any = None
 
 
-def contrastive_fn(cfg: Config):
-    """Loss selector (reference: utils/model_utils.py:90-98)."""
+def contrastive_fn(cfg: Config, mesh=None, use_pallas=None):
+    """Loss selector (reference: utils/model_utils.py:90-98).
+
+    On a single TPU chip with tile-compatible shapes the fused Pallas
+    NT-Xent kernel is used (1.7x faster backward than the XLA lowering);
+    under a mesh the XLA path stays so the batch-sharded similarity gets
+    partitioned + all-gathered by the compiler.
+    """
     if cfg.train.modified_loss:
         return lambda z1, z2: modified_contrastive_loss(
             z1, z2, cfg.train.temperature)
+    if use_pallas is None:
+        from simclr_tpu.ops.pallas.ntxent import supports
+
+        use_pallas = (
+            mesh is None
+            and supports(cfg.train.batch_size, cfg.model.compressed_dim)
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from simclr_tpu.ops.pallas.ntxent import nt_xent_loss_pallas
+
+        return lambda z1, z2: nt_xent_loss_pallas(
+            z1, z2, cfg.train.temperature, normalize=True)
     return lambda z1, z2: nt_xent_loss(
         z1, z2, cfg.train.temperature, normalize=True)
 
@@ -113,9 +132,10 @@ def _forward_pair(model, params, batch_stats, v1, v2, drop_key,
 
 
 def build_engine(cfg: Config, model: SimCLR, tx,
-                 mesh=None, two_pass_views: bool = False) -> PretrainEngine:
+                 mesh=None, two_pass_views: bool = False,
+                 use_pallas_ntxent=None) -> PretrainEngine:
     aug, ds_cfg = cfg.augment, cfg.dataset
-    loss_fn = contrastive_fn(cfg)
+    loss_fn = contrastive_fn(cfg, mesh, use_pallas_ntxent)
     accum = max(cfg.train.accum_steps, 1)
 
     def train_step(state: TrainState, images, idx, key):
