@@ -51,6 +51,10 @@ def main() -> None:
     p.add_argument("--n_devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics_path", default=None,
+                   help="append-only JSONL metrics log")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of epoch 2 here")
     args = p.parse_args()
 
     cfg = Config.for_dataset(args.dataset)
@@ -86,6 +90,8 @@ def main() -> None:
     result = pretrain(
         cfg, mesh=mesh, resume_from=args.resume_training_path,
         two_pass_views=args.two_pass_views,
+        metrics_path=args.metrics_path,
+        profile_dir=args.profile_dir,
     )
     print(f"done: {result.steps_per_sec:.2f} steps/sec | "
           f"export: {result.export_path}")

@@ -430,6 +430,18 @@ def augment_train_pair(
             augment_train(k2, images, aug, ds))
 
 
+def augment_anchor_pair(
+    key: Array,
+    images: Array,
+    aug: AugmentConfig,
+    ds: DatasetConfig,
+) -> Tuple[Array, Array]:
+    """Anchor mode: (normalized ORIGINAL, augmented view) per image —
+    the reference's `anchor=True` dataset mode used by the representation
+    analogy analysis (reference: data.py:44-50, utils/metrics.py:232)."""
+    return augment_test(images, ds), augment_train(key, images, aug, ds)
+
+
 def augment_fine_tune(
     key: Array,
     images: Array,

@@ -222,6 +222,8 @@ def pretrain(
     log: Callable[[str], None] = print,
     save_checkpoints: Optional[bool] = None,
     export_path: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> PretrainResult:
     """Full pretraining driver (reference: pretrain.py:56-94 +
     utils/model_utils.py:41-173)."""
@@ -251,6 +253,11 @@ def pretrain(
     print_every = max(
         int(steps_per_epoch * tcfg.log_every_fraction), 1)
 
+    from simclr_tpu.utils.profiling import MetricsLogger, trace
+
+    metrics = MetricsLogger(metrics_path) if metrics_path else None
+    profiled = False
+
     total_steps = 0
     t_train = 0.0
     for epoch in range(start_epoch, tcfg.n_epoch):
@@ -259,11 +266,26 @@ def pretrain(
         idx_mat = epoch_permutation(k_perm, split.train.n, batch)
 
         t0 = time.perf_counter()
-        state, (losses, accs) = engine.train_epoch(
-            state, split.train.images, idx_mat, k_steps)
+        if profile_dir and not profiled and epoch > start_epoch:
+            # Trace the second epoch (first is dominated by compilation).
+            profiled = True
+            with trace(profile_dir):
+                state, (losses, accs) = engine.train_epoch(
+                    state, split.train.images, idx_mat, k_steps)
+                jax.block_until_ready(losses)
+        else:
+            state, (losses, accs) = engine.train_epoch(
+                state, split.train.images, idx_mat, k_steps)
         losses, accs = np.asarray(losses), np.asarray(accs)
         t_train += time.perf_counter() - t0
         total_steps += steps_per_epoch
+        if metrics:
+            metrics.log(
+                total_steps, epoch=epoch + 1,
+                train_loss=losses.mean(), train_acc=accs.mean(),
+                epoch_seconds=time.perf_counter() - t0,
+                steps_per_sec=steps_per_epoch
+                / max(time.perf_counter() - t0, 1e-9))
 
         for s in range(0, steps_per_epoch, print_every):
             log(f"Epoch: {epoch + 1} | Iteration {s} | "
@@ -278,6 +300,10 @@ def pretrain(
                 f"{float(v_loss):.4f} | avg valid accuracy: "
                 f"{float(v_acc):.4f}%")
             history.append("valid", float(v_loss), float(v_acc))
+            if metrics:
+                metrics.log(total_steps, epoch=epoch + 1,
+                            valid_loss=float(v_loss),
+                            valid_acc=float(v_acc))
 
         if save_checkpoints and (epoch + 1) % tcfg.save_ckpt_every == 0:
             path = ckpt_lib.save_checkpoint(
@@ -295,6 +321,8 @@ def pretrain(
             final_export, state.params, state.batch_stats, cfg.to_json())
         log(f"exported model: {final_export}")
 
+    if metrics:
+        metrics.close()
     sps = total_steps / t_train if t_train > 0 else 0.0
     return PretrainResult(state=state, history=history,
                           export_path=final_export, steps_per_sec=sps)
