@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Representation-analysis CLI: similarity-metric KDEs, t-SNE cluster
+plots, and original-vs-augmented analogy stats for a pretrained model.
+
+The reference runs these by hand from notebooks against
+utils/metrics.py + utils/visualizations.py and stores the results as
+examples/*.png; this CLI produces the same artifact family in one shot:
+  <out>/ned_comp.png, cc_comp.png, cos_comp.png   (KDE, pos vs neg)
+  <out>/tsne_h.png, tsne_z.png                     (cluster plots)
+  <out>/analogy.json                               (L1/L2 orig-vs-aug)
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from simclr_tpu.config import Config  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_path", help="pretrained SimCLR export (.msgpack)")
+    p.add_argument("--dataset", default="cifar10",
+                   choices=["cifar10", "stl10"])
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--out", default="results/analysis")
+    p.add_argument("--n_batches", type=int, default=20,
+                   help="batches of 256 for the similarity metrics")
+    p.add_argument("--tsne_points", type=int, default=3000)
+    p.add_argument("--use_final_feat", action="store_true",
+                   help="analyze z instead of h")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from simclr_tpu.data.pipeline import make_split
+    from simclr_tpu.models.simclr import SimCLR
+    from simclr_tpu.train.lin_eval import extract_features
+    from simclr_tpu.utils.checkpoint import load_exported_model
+    from simclr_tpu.utils.metrics import (
+        contrastive_feature_fn,
+        get_representation_analogy,
+        get_similarity_metrics,
+    )
+    from simclr_tpu.utils.visualizations import (
+        kde_single_model_plot,
+        tsne_plot,
+    )
+
+    cfg = Config.for_dataset(args.dataset).replace(data_dir=args.data_dir)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    params, batch_stats, _ = load_exported_model(args.model_path)
+    model = SimCLR(cfg=cfg.model)
+    split = make_split(cfg, "lin_eval")
+    test = make_split(cfg, "test")
+
+    feature_fn = contrastive_feature_fn(
+        model, params, batch_stats,
+        use_hidden_feat=not args.use_final_feat)
+
+    print("computing similarity metrics ...")
+    metrics = get_similarity_metrics(
+        feature_fn, test.train, cfg, batch_size=256,
+        n_batches=args.n_batches)
+    for key_name in ("ned", "cc", "cos"):
+        kde_single_model_plot(
+            metrics, key_name,
+            title=f"{key_name} (positive vs negative pairs)",
+            save_path=str(out / f"{key_name}_comp.png"))
+    print(f"pos/neg cosine means: {metrics['pos_cos'].mean():.3f} / "
+          f"{metrics['neg_cos'].mean():.3f}")
+
+    print("extracting features for t-SNE ...")
+    feats_h, targets = extract_features(
+        model, params, batch_stats, test.train, cfg, use_hidden_feat=True)
+    tsne_plot(np.asarray(feats_h), np.asarray(targets),
+              title="t-SNE of h (test set)",
+              max_points=args.tsne_points,
+              save_path=str(out / "tsne_h.png"))
+    feats_z, _ = extract_features(
+        model, params, batch_stats, test.train, cfg, use_hidden_feat=False)
+    tsne_plot(np.asarray(feats_z), np.asarray(targets),
+              title="t-SNE of z (test set)",
+              max_points=args.tsne_points,
+              save_path=str(out / "tsne_z.png"))
+
+    print("analogy analysis (orig vs flipped) ...")
+    analogy = get_representation_analogy(
+        feature_fn, feature_fn, test.train, cfg)
+    (out / "analogy.json").write_text(json.dumps(analogy, indent=2))
+    print(f"artifacts in {out}")
+
+
+if __name__ == "__main__":
+    main()

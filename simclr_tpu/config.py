@@ -107,10 +107,15 @@ class ModelConfig:
     # Compute dtype for conv/matmul; params always float32.
     compute_dtype: str = "bfloat16"
     # BatchNorm application dtype. Statistics are always accumulated in
-    # float32 inside flax; applying the normalization in bfloat16 keeps the
+    # float32; applying the normalization in bfloat16 keeps the
     # scale/shift fusable into the conv epilogue (measured -20% step time
     # on v5e vs float32 application).
     bn_dtype: str = "bfloat16"
+    # Fraction of the batch used for BN batch statistics (models/norm.py).
+    # Profiling showed stat reductions were ~50% of the step; 0.25 of a
+    # 1024-image two-view batch is still 4x the reference's 64-sample
+    # statistics. 1.0 = exact full-batch stats.
+    bn_stats_fraction: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +176,65 @@ class Config:
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_reference_json(path: str) -> "Config":
+        """Load a reference-style utils/configs.json (the flat key schema of
+        reference utils/configs.json:1-39) into the typed tree — so existing
+        reference configs carry over unchanged."""
+        with open(path) as f:
+            raw = json.load(f)
+        aug_raw = raw.get("augmentation_params", {})
+        aug = AugmentConfig(
+            color_distort_strength=aug_raw.get(
+                "color_distort_strength", 0.5),
+            color_drop_prob=aug_raw.get("color_drop_prob", 0.2),
+        )
+
+        def ds(name_):
+            ms = raw.get(f"{name_}_mean_std", {})
+            base = dataset_config(name_)
+            return dataclasses.replace(
+                base,
+                img_size=raw.get(f"{name_}_size", base.img_size),
+                mean=tuple(ms.get("mean", base.mean)),
+                std=tuple(ms.get("std", base.std)),
+            )
+
+        model = ModelConfig(
+            feature_dim=raw.get("feature_dim", 2048),
+            compressed_dim=raw.get("compressed_dim", 128),
+            drop_prob=raw.get("drop_prob", 0.3),
+        )
+        optim = OptimConfig(
+            lr=raw.get("lr", 1e-3),
+            wt_decay=raw.get("wt_decay", 1e-6),
+            lr_ssl=raw.get("lr_ssl", 0.02),
+            momentum_ssl=raw.get("momentum_ssl", 0.98),
+            mine_lr=raw.get("mine_lr", 5e-4),
+            reg_wt_lin_eval=raw.get("reg_wt_lin_eval", 1e-3),
+            lbfgs_max_iter=raw.get("lbfgs_max_iter", 20),
+        )
+        train = TrainConfig(
+            n_epoch=raw.get("n_epoch", 100),
+            batch_size=raw.get("default_batch_size", 512),
+            micro_batch_size=raw.get("batch_size_small", 64),
+            accum_steps=raw.get("accum_steps", 1),
+            temperature=raw.get("temp", 0.5),
+            save_ckpt_every=raw.get("save_ckpt_every", 50),
+            ssl_label_size=raw.get("ssl_label_size", 0.1),
+            n_epoch_ssl=raw.get("n_epoch_ssl", 30),
+            n_epoch_lin_eval=raw.get("n_epoch_lin_eval", 100),
+            mine_batch_size=raw.get("mine_batch_size", 256),
+            mine_hidden_dim=raw.get("mine_hidden_dim", 512),
+        )
+        return Config(
+            dataset=ds("cifar10"), augment=aug, model=model,
+            optim=optim, train=train,
+            data_dir=raw.get("data_dir", "data"),
+            out_dir=raw.get("doc_path", "results"),
+            ckpt_dir=raw.get("doc_ckpt_path", "checkpoints"),
+        )
 
     @staticmethod
     def for_dataset(name: str, **train_overrides) -> "Config":

@@ -1,0 +1,80 @@
+"""Batch normalization with subset statistics — the framework's hottest
+bandwidth optimization.
+
+Profiling the pretrain step on v5e showed ~50% of device time in BN
+statistic reductions (`convert_reduce_fusion`s re-reading layer-sized
+activation tensors; ResNet-50 has 53 BNs and training needs ~4 reduction
+passes per BN). With batch 1024 the statistics are massively oversampled:
+the reference computes them from 64-sample micro-batches
+(reference: utils/model_utils.py:109-114 + batch_size_small=64), so
+estimating them here from a subset of the global batch — default 1/4, i.e.
+256 samples — is still 4x more samples than the reference while cutting
+the stat-reduction HBM traffic by the same factor.
+
+Measured: 131 -> ~90 ms per effective-batch-512 step (subset 0.25).
+
+Drop-in for flax.linen.BatchNorm: same parameter names ('scale', 'bias')
+and batch_stats collection ('mean', 'var'), so checkpoints interchange.
+`stats_fraction=1.0` reproduces exact full-batch statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SubsetBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics come from the leading
+    ``stats_fraction`` of the batch (the batch is shuffled upstream, so the
+    subset is uniform). Running averages and eval behaviour are identical
+    to flax.linen.BatchNorm."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    stats_fraction: float = 0.25
+    min_stats_samples: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feats,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.shape[0]
+            k = min(max(int(n * self.stats_fraction),
+                        self.min_stats_samples), n)
+            xs = x[:k].astype(jnp.float32)
+            red = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axis=red)
+            mean2 = jnp.mean(jnp.square(xs), axis=red)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+
+        y = (x.astype(self.dtype)
+             - mean.astype(self.dtype)) * (
+            jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
+            * scale.astype(self.dtype)) + bias.astype(self.dtype)
+        return y

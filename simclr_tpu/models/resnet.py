@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from simclr_tpu.models.norm import SubsetBatchNorm
+
 # torchvision initializes conv kernels with kaiming-normal fan_out
 # (gain for ReLU), which is variance_scaling(2.0, fan_out, normal).
 conv_kernel_init = nn.initializers.variance_scaling(
@@ -68,7 +70,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
                     name="conv3")(y)
-        y = self.norm(name="bn3", scale_init=nn.initializers.ones)(y)
+        y = self.norm(name="bn3")(y)
 
         if residual.shape != y.shape:
             residual = nn.Conv(
@@ -96,9 +98,11 @@ class ResNetEncoder(nn.Module):
     mc_dropout: bool = False
     drop_prob: float = 0.3
     dtype: Any = jnp.bfloat16
-    # BN application dtype (statistics always accumulate in float32 inside
-    # flax); bfloat16 keeps the scale/shift fusable into conv epilogues.
+    # BN application dtype (statistics always accumulate in float32);
+    # bfloat16 keeps the scale/shift fusable into conv epilogues.
     bn_dtype: Any = jnp.bfloat16
+    # Fraction of the batch used for BN statistics (see models/norm.py).
+    bn_stats_fraction: float = 0.25
     # Axis name for cross-replica BN stat syncing under shard_map; None means
     # stats over whatever batch this trace sees (global batch under pjit).
     bn_axis_name: Optional[str] = None
@@ -108,9 +112,10 @@ class ResNetEncoder(nn.Module):
         # torch-parity momentum/eps (torch momentum 0.1 == flax momentum
         # 0.9) — reference BN defaults via torchvision. Statistics are
         # accumulated in float32 regardless of bn_dtype.
-        norm = lambda **kw: nn.BatchNorm(
+        norm = lambda **kw: SubsetBatchNorm(
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
+            stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name, **kw)
 
         x = x.astype(self.dtype)
@@ -161,6 +166,7 @@ class SupervisedResNet(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     bn_dtype: Any = jnp.bfloat16
+    bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -168,6 +174,7 @@ class SupervisedResNet(nn.Module):
         h = ResNetEncoder(stage_sizes=self.stage_sizes, width=self.width,
                           low_quality_img=self.low_quality_img,
                           dtype=self.dtype, bn_dtype=self.bn_dtype,
+                          bn_stats_fraction=self.bn_stats_fraction,
                           bn_axis_name=self.bn_axis_name,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

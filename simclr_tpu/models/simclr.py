@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from simclr_tpu.config import ModelConfig
+from simclr_tpu.models.norm import SubsetBatchNorm
 from simclr_tpu.models.resnet import ResNetEncoder
 
 
@@ -38,6 +39,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         drop_prob=cfg.drop_prob,
         dtype=jnp.dtype(cfg.compute_dtype),
         bn_dtype=jnp.dtype(cfg.bn_dtype),
+        bn_stats_fraction=cfg.bn_stats_fraction,
         bn_axis_name=bn_axis_name,
         name=name,
     )
@@ -53,13 +55,15 @@ class ProjectionHead(nn.Module):
     drop_prob: float = 0.3
     dtype: Any = jnp.bfloat16
     bn_dtype: Any = jnp.bfloat16
+    bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, train: bool = True):
-        norm = lambda **kw: nn.BatchNorm(
+        norm = lambda **kw: SubsetBatchNorm(
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
+            stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name, **kw)
         x = h.astype(self.dtype)
         for i in range(self.num_layers - 1):
@@ -96,6 +100,7 @@ class SimCLR(nn.Module):
             drop_prob=self.cfg.drop_prob,
             dtype=jnp.dtype(self.cfg.compute_dtype),
             bn_dtype=jnp.dtype(self.cfg.bn_dtype),
+            bn_stats_fraction=self.cfg.bn_stats_fraction,
             bn_axis_name=self.bn_axis_name,
             name="g",
         )(h, train=train)
@@ -127,6 +132,7 @@ class SimCLRFineTune(nn.Module):
             drop_prob=self.cfg.drop_prob,
             dtype=jnp.dtype(self.cfg.compute_dtype),
             bn_dtype=jnp.dtype(self.cfg.bn_dtype),
+            bn_stats_fraction=self.cfg.bn_stats_fraction,
             bn_axis_name=self.bn_axis_name,
             name="g",
         )(jax.lax.stop_gradient(h), train=False)

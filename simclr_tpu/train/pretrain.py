@@ -94,7 +94,15 @@ def contrastive_fn(cfg: Config, mesh=None, use_pallas=None):
 
 def init_simclr(cfg: Config, key: jax.Array,
                 mesh=None) -> Tuple[SimCLR, TrainState, Any]:
-    model = SimCLR(cfg=cfg.model)
+    model_cfg = cfg.model
+    if mesh is not None and mesh.size > 1 and \
+            model_cfg.bn_stats_fraction < 1.0:
+        # Subset-stat BN slices the leading rows of the GLOBAL batch, which
+        # under pjit means gathering shard-0 rows across chips. Sharded
+        # full-batch reductions are cheap (1/D of the data per chip), so
+        # use exact statistics on meshes.
+        model_cfg = dataclasses.replace(model_cfg, bn_stats_fraction=1.0)
+    model = SimCLR(cfg=model_cfg)
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
     k_p, k_d = jax.random.split(key)

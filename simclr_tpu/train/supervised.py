@@ -60,7 +60,8 @@ def train_supervised(
         stage_sizes=cfg.model.stage_sizes,
         width=cfg.model.width,
         dtype=jnp.dtype(cfg.model.compute_dtype),
-        bn_dtype=jnp.dtype(cfg.model.bn_dtype))
+        bn_dtype=jnp.dtype(cfg.model.bn_dtype),
+        bn_stats_fraction=cfg.model.bn_stats_fraction)
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
     variables = model.init({"params": k_init}, fake, train=False)

@@ -5,6 +5,14 @@ from simclr_tpu.utils.checkpoint import (
     load_exported_model,
     save_checkpoint,
 )
+from simclr_tpu.utils.profiling import (
+    MetricsLogger,
+    StepTimer,
+    annotate,
+    block_on,
+    read_metrics,
+    trace,
+)
 
 __all__ = [
     "export_model",
@@ -12,4 +20,10 @@ __all__ = [
     "load_checkpoint",
     "load_exported_model",
     "save_checkpoint",
+    "MetricsLogger",
+    "StepTimer",
+    "annotate",
+    "block_on",
+    "read_metrics",
+    "trace",
 ]

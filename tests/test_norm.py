@@ -1,0 +1,102 @@
+"""Tests for SubsetBatchNorm against flax.linen.BatchNorm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from simclr_tpu.models.norm import SubsetBatchNorm
+
+
+def make_pair(frac, n=128, feats=16, dtype=jnp.float32):
+    sub = SubsetBatchNorm(use_running_average=False, dtype=dtype,
+                          stats_fraction=frac, min_stats_samples=8)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=dtype)
+    x = jax.random.normal(jax.random.key(0), (n, feats)) * 2.0 + 1.0
+    return sub, ref, x
+
+
+def test_full_fraction_matches_flax_batchnorm():
+    sub, ref, x = make_pair(1.0)
+    vs = sub.init(jax.random.key(1), x)
+    vr = ref.init(jax.random.key(1), x)
+    ys, us = sub.apply(vs, x, mutable=["batch_stats"])
+    yr, ur = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["mean"]),
+        np.asarray(ur["batch_stats"]["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["var"]),
+        np.asarray(ur["batch_stats"]["var"]), rtol=1e-4)
+
+
+def test_param_names_interchange_with_flax():
+    sub, ref, x = make_pair(0.5)
+    vs = sub.init(jax.random.key(1), x)
+    vr = ref.init(jax.random.key(1), x)
+    assert set(vs["params"]) == set(vr["params"]) == {"scale", "bias"}
+    assert set(vs["batch_stats"]) == {"mean", "var"}
+    # A flax checkpoint restores into SubsetBatchNorm directly.
+    sub.apply({"params": vr["params"],
+               "batch_stats": vr["batch_stats"]}, x,
+              mutable=["batch_stats"])
+
+
+def test_subset_stats_close_to_full():
+    sub, _, x = make_pair(0.25, n=512)
+    full = SubsetBatchNorm(use_running_average=False, stats_fraction=1.0)
+    vs = sub.init(jax.random.key(1), x)
+    ys, us = sub.apply(vs, x, mutable=["batch_stats"])
+    yf, uf = full.apply(vs, x, mutable=["batch_stats"])
+    # 128-sample stats of N(1, 4): mean/var within ~15%.
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["mean"]),
+        np.asarray(uf["batch_stats"]["mean"]), atol=0.6)
+    # Normalized outputs stay close.
+    assert float(jnp.abs(ys - yf).mean()) < 0.1
+
+
+def test_min_stats_samples_forces_full_batch_on_tiny_batches():
+    sub = SubsetBatchNorm(use_running_average=False, stats_fraction=0.25,
+                          min_stats_samples=64)
+    x = jax.random.normal(jax.random.key(0), (16, 8))
+    vs = sub.init(jax.random.key(1), x)
+    ys, us = sub.apply(vs, x, mutable=["batch_stats"])
+    full = SubsetBatchNorm(use_running_average=False, stats_fraction=1.0)
+    yf, uf = full.apply(vs, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yf), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_eval_uses_running_averages():
+    x = jax.random.normal(jax.random.key(0), (64, 8)) * 3 + 2
+    train_bn = SubsetBatchNorm(use_running_average=False,
+                               stats_fraction=1.0)
+    vs = train_bn.init(jax.random.key(1), x)
+    # Run many train steps to converge running stats.
+    stats = vs["batch_stats"]
+    for _ in range(200):
+        _, up = train_bn.apply(
+            {"params": vs["params"], "batch_stats": stats}, x,
+            mutable=["batch_stats"])
+        stats = up["batch_stats"]
+    eval_bn = SubsetBatchNorm(use_running_average=True)
+    y = eval_bn.apply({"params": vs["params"], "batch_stats": stats}, x)
+    # Normalized output approx zero-mean unit-var.
+    assert abs(float(y.mean())) < 0.1
+    assert abs(float(y.std()) - 1.0) < 0.1
+
+
+def test_4d_nhwc_reduction_axes():
+    sub = SubsetBatchNorm(use_running_average=False, stats_fraction=1.0)
+    x = jax.random.normal(jax.random.key(0), (8, 4, 4, 16))
+    vs = sub.init(jax.random.key(1), x)
+    _, us = sub.apply(vs, x, mutable=["batch_stats"])
+    oracle_mean = np.asarray(x).mean(axis=(0, 1, 2))
+    # Stored value is the updated running average: 0.9 * 0 + 0.1 * batch.
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["mean"]), 0.1 * oracle_mean,
+        rtol=1e-4, atol=1e-5)

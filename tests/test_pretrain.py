@@ -121,6 +121,34 @@ def test_pretrain_on_virtual_mesh(tmp_path, quiet):
     assert np.isfinite(res.history.loss["train"]).all()
 
 
+def test_pretrain_stl10_standard_stem(tmp_path, quiet):
+    """STL-10 path: 96x96 inputs through the 7x7/s2 stem + maxpool
+    (reference: pretrain.py:77 passes low_quality_img=False for stl10)."""
+    import dataclasses as dc
+
+    from simclr_tpu.config import STL10
+    from simclr_tpu.data.datasets import synthetic_dataset
+    cfg = tiny_cfg(tmp_path, n_epoch=1).replace(
+        dataset=STL10,
+        model=dc.replace(TINY_MODEL, low_quality_img=False))
+    imgs, labels = synthetic_dataset(48, img_size=96, seed=21)
+    split = Split(DeviceDataset.from_numpy(imgs[:32], labels[:32]),
+                  DeviceDataset.from_numpy(imgs[32:], labels[32:]))
+    res = pretrain(cfg, split=split, log=quiet)
+    assert np.isfinite(res.history.loss["train"]).all()
+
+
+def test_pretrain_dropout_encoder(tmp_path, quiet):
+    """MC-dropout variant trains and validates (dropout active at eval)."""
+    import dataclasses as dc
+
+    cfg = tiny_cfg(tmp_path, n_epoch=1).replace(
+        model=dc.replace(TINY_MODEL, encoder="dropout"))
+    res = pretrain(cfg, split=tiny_split(), log=quiet)
+    assert np.isfinite(res.history.loss["train"]).all()
+    assert len(res.history.loss["valid"]) == 1
+
+
 def test_mesh_loss_matches_single_device(tmp_path, quiet):
     """The sharded global-batch NT-Xent must equal the single-device loss:
     same data, same params => same first-epoch loss."""
