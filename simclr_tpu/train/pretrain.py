@@ -246,6 +246,13 @@ def pretrain(
 
     history = History()
     start_epoch = 0
+    if resume_from == "auto":
+        # Elastic restart: resume from the newest checkpoint if any exists
+        # (the reference requires an explicit --resume_training_path,
+        # pretrain.py:34-37).
+        resume_from = ckpt_lib.latest_checkpoint(cfg.ckpt_dir)
+        if resume_from is None:
+            log("auto-resume: no checkpoint found, starting fresh")
     if resume_from:
         # Reference resume: model + optimizer + epoch + histories
         # (model_utils.py:75-86).
