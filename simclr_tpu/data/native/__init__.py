@@ -134,17 +134,23 @@ class NativePipeline:
         if not self._handle:
             raise ValueError("pipeline_create failed (batch > n?)")
         self.steps_per_epoch = lib.pipeline_steps_per_epoch(self._handle)
-        self._out_images = np.empty(
-            (batch_size,) + self.sample_shape, np.uint8)
-        self._out_labels = np.empty((batch_size,), np.int32)
+        # Two alternating output buffers so an async consumer (e.g. a
+        # still-inflight jax.device_put of batch t) never races the write
+        # of batch t+1.
+        self._out = [
+            (np.empty((batch_size,) + self.sample_shape, np.uint8),
+             np.empty((batch_size,), np.int32))
+            for _ in range(2)
+        ]
+        self._slot = 0
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking; returns views over internal buffers (copy or consume
-        before the next call)."""
-        self._lib.pipeline_next(
-            self._handle, _u8ptr(self._out_images),
-            _i32ptr(self._out_labels))
-        return self._out_images, self._out_labels
+        """Blocking; returns views over an internal double buffer (valid
+        until the call after next)."""
+        imgs, labs = self._out[self._slot]
+        self._slot ^= 1
+        self._lib.pipeline_next(self._handle, _u8ptr(imgs), _i32ptr(labs))
+        return imgs, labs
 
     def close(self) -> None:
         if getattr(self, "_handle", None):

@@ -61,6 +61,9 @@ class PretrainEngine:
     tx: Any
     train_epoch: Callable  # (state, images, idx_mat, key) -> (state, metrics)
     eval_epoch: Callable   # (state, images, idx_mat, key) -> metrics
+    # Single-step variant taking a device batch directly — the hot function
+    # of the host-streaming path (train/streaming.py).
+    train_step_direct: Callable = None  # (state, batch_u8, key) -> ...
     mesh: Any = None
 
 
@@ -146,9 +149,8 @@ def build_engine(cfg: Config, model: SimCLR, tx,
     loss_fn = contrastive_fn(cfg, mesh, use_pallas_ntxent)
     accum = max(cfg.train.accum_steps, 1)
 
-    def train_step(state: TrainState, images, idx, key):
+    def train_step_on_batch(state: TrainState, batch, key):
         k_aug, k_drop = jax.random.split(key)
-        batch = jnp.take(images, idx, axis=0)
         v1, v2 = augment_train_pair(k_aug, batch, aug, ds_cfg)
         v1, v2 = shard_batch(v1, mesh), shard_batch(v2, mesh)
 
@@ -170,6 +172,10 @@ def build_engine(cfg: Config, model: SimCLR, tx,
         # History-parity: the reference logs loss / accum_steps
         # (model_utils.py:116-117).
         return new_state, (loss / accum, acc)
+
+    def train_step(state: TrainState, images, idx, key):
+        return train_step_on_batch(
+            state, jnp.take(images, idx, axis=0), key)
 
     def eval_step(state: TrainState, images, idx, key):
         # test_auxi_classification parity (model_utils.py:12-38): eval-mode
@@ -208,9 +214,11 @@ def build_engine(cfg: Config, model: SimCLR, tx,
         _, (losses, accs) = jax.lax.scan(body, None, (idx_mat, keys))
         return jnp.mean(losses), jnp.mean(accs)
 
-    return PretrainEngine(cfg=cfg, model=model, tx=tx,
-                          train_epoch=train_epoch, eval_epoch=eval_epoch,
-                          mesh=mesh)
+    return PretrainEngine(
+        cfg=cfg, model=model, tx=tx,
+        train_epoch=train_epoch, eval_epoch=eval_epoch,
+        train_step_direct=jax.jit(train_step_on_batch, donate_argnums=0),
+        mesh=mesh)
 
 
 @dataclasses.dataclass
