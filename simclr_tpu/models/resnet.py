@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

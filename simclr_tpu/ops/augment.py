@@ -40,7 +40,6 @@ Parameter parity with the reference stack (data.py:100-147):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

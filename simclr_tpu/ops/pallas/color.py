@@ -22,7 +22,6 @@ through HBM between ops.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

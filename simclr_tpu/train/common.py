@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

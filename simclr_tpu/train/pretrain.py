@@ -34,7 +34,7 @@ import dataclasses
 import os
 import time
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ import numpy as np
 
 from simclr_tpu.config import Config
 from simclr_tpu.data.pipeline import (
-    DeviceDataset, Split, epoch_permutation, make_split)
+    Split, epoch_permutation, make_split)
 from simclr_tpu.models.simclr import SimCLR
 from simclr_tpu.ops.augment import augment_train_pair
 from simclr_tpu.ops.losses import modified_contrastive_loss, nt_xent_loss
@@ -219,6 +219,27 @@ def build_engine(cfg: Config, model: SimCLR, tx,
         train_epoch=train_epoch, eval_epoch=eval_epoch,
         train_step_direct=jax.jit(train_step_on_batch, donate_argnums=0),
         mesh=mesh)
+
+
+def evaluate_auxiliary(
+    engine: PretrainEngine,
+    state: TrainState,
+    ds,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Auxiliary-task (positive-pair retrieval) evaluation over a dataset —
+    the reference's test-set variant builds a paired train-augmented test
+    loader for exactly this (reference: data.py:241-268
+    get_test_cifar_auxiliary_task + utils/model_utils.py:12-38).
+
+    Returns (mean loss / accum_steps, mean top-1 %).
+    """
+    batch = batch_size or engine.cfg.train.batch_size
+    key = jax.random.key(seed)
+    idx_mat = epoch_permutation(key, ds.n, batch)
+    loss, acc = engine.eval_epoch(state, ds.images, idx_mat, key)
+    return float(loss), float(acc)
 
 
 @dataclasses.dataclass

@@ -15,7 +15,7 @@ DataLoader worker prefetching (reference: data.py:318-321, num_workers=2).
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import numpy as np

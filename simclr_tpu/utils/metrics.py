@@ -13,7 +13,7 @@ tqdm loops (metrics.py:98-128, 152-176).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ The reference's deployment artifact is a traced TorchScript module
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

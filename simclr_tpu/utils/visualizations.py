@@ -9,7 +9,7 @@ every figure-producing function accepts `save_path` and returns the figure.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
