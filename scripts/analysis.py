@@ -68,7 +68,7 @@ def main() -> None:
     metrics = get_similarity_metrics(
         feature_fn, test.train, cfg, batch_size=256,
         n_batches=args.n_batches)
-    for key_name in ("ned", "cc", "cos"):
+    for key_name in ("ned", "cc", "cos", "nmi"):
         kde_single_model_plot(
             metrics, key_name,
             title=f"{key_name} (positive vs negative pairs)",

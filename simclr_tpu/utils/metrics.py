@@ -69,8 +69,48 @@ def bucketize_feature_values(feat: Array) -> Array:
     return jnp.searchsorted(bdr, feat)[None]
 
 
+def calc_nmi(a: Array, b: Array, n_buckets: int = 16) -> Array:
+    """Per-row normalized mutual information between bucketized feature
+    vectors.
+
+    The reference ships the bucketize helper (metrics.py:58-73) and
+    produces NMI comparison distributions offline (examples/nmi_comp.png);
+    this is the on-device computation: each vector's values are bucketed
+    over its own range, the joint histogram over the feature dimension is
+    built as a one-hot matmul (MXU-friendly), and
+    NMI = I(A;B) / sqrt(H(A) H(B)).
+    """
+    def bucket(x):
+        lo = jnp.min(x, axis=1, keepdims=True)
+        hi = jnp.max(x, axis=1, keepdims=True)
+        t = (x - lo) / jnp.maximum(hi - lo, 1e-12)
+        return jnp.clip((t * n_buckets).astype(jnp.int32), 0,
+                        n_buckets - 1)
+
+    d = a.shape[1]
+    one_a = jax.nn.one_hot(bucket(a), n_buckets)       # (N, D, K)
+    one_b = jax.nn.one_hot(bucket(b), n_buckets)
+    joint = jnp.einsum("ndk,ndl->nkl", one_a, one_b,
+                       preferred_element_type=jnp.float32) / d
+    pa = jnp.sum(joint, axis=2)
+    pb = jnp.sum(joint, axis=1)
+
+    def entropy(p):
+        return -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0), axis=-1)
+
+    outer = pa[:, :, None] * pb[:, None, :]
+    mi = jnp.sum(
+        jnp.where(joint > 0,
+                  joint * (jnp.log(jnp.maximum(joint, 1e-12))
+                           - jnp.log(jnp.maximum(outer, 1e-12))),
+                  0.0),
+        axis=(1, 2))
+    return mi / jnp.maximum(jnp.sqrt(entropy(pa) * entropy(pb)), 1e-12)
+
+
 _METRIC_KEYS = ("pos_ned", "pos_cc", "pos_cos",
-                "neg_ned", "neg_cc", "neg_cos")
+                "neg_ned", "neg_cc", "neg_cos",
+                "pos_nmi", "neg_nmi")
 
 
 def _pairwise_metrics(feat: Array, feat_pos: Array,
@@ -87,6 +127,8 @@ def _pairwise_metrics(feat: Array, feat_pos: Array,
         "neg_cc": calc_corrcoeff(feat, feat_neg),
         "pos_cos": cosine_similarity(feat, feat_pos),
         "neg_cos": cosine_similarity(feat, feat_neg),
+        "pos_nmi": calc_nmi(feat, feat_pos),
+        "neg_nmi": calc_nmi(feat, feat_neg),
     }
 
 

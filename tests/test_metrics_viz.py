@@ -73,6 +73,21 @@ class TestMetricFormulas:
             np.asarray(cosine_similarity(jnp.asarray(a), jnp.asarray(b))),
             oracle.numpy(), rtol=1e-5)
 
+    def test_nmi_identity_and_independence(self):
+        from simclr_tpu.utils.metrics import calc_nmi
+
+        rng = np.random.RandomState(9)
+        a = jnp.asarray(rng.randn(6, 512).astype(np.float32))
+        nmi_self = np.asarray(calc_nmi(a, a))
+        np.testing.assert_allclose(nmi_self, 1.0, atol=1e-4)
+        b = jnp.asarray(rng.randn(6, 512).astype(np.float32))
+        nmi_ind = np.asarray(calc_nmi(a, b))
+        assert nmi_ind.max() < 0.25  # near-independent features
+        # Correlated features land in between.
+        c = a + 0.5 * b
+        nmi_cor = np.asarray(calc_nmi(a, c))
+        assert (nmi_cor > nmi_ind).all() and (nmi_cor < 1.0).all()
+
     def test_bucketize_shape(self):
         feat = jnp.asarray(np.random.RandomState(4).randn(6, 32))
         out = bucketize_feature_values(feat)
