@@ -94,52 +94,63 @@ def train_mine(
     tx = adam_torch(lr or cfg.optim.mine_lr)
     state = TrainState.create(variables["params"], {}, tx)
 
-    def encode(x, k):
+    # `frozen` (94 MB of encoder weights) is threaded as a jit ARGUMENT —
+    # closure capture would bake it into the compiled executable as a
+    # constant (bloated compile payloads, recompile per checkpoint).
+    def encode(frozen, x, k):
         h, z = simclr.apply(frozen, x, train=False, rngs={"dropout": k})
         return h if use_hidden_feat else z
 
-    def sample(images, idx_joint, idx_marginal, k):
+    def sample(frozen, images, idx_joint, idx_marginal, k):
         k_a, k_b, k_d1, k_d2, k_d3 = jax.random.split(k, 5)
         x_joint = jnp.take(images, idx_joint, axis=0)
         x_marg = jnp.take(images, idx_marginal, axis=0)
         if mi_between_repr:
             v1, v2 = augment_train_pair(k_a, x_joint, aug_cfg, ds_cfg)
             vm = augment_train(k_b, x_marg, aug_cfg, ds_cfg)
-            f1, f2, fm = (encode(v1, k_d1), encode(v2, k_d2),
-                          encode(vm, k_d3))
+            f1, f2, fm = (encode(frozen, v1, k_d1),
+                          encode(frozen, v2, k_d2),
+                          encode(frozen, vm, k_d3))
             joint = jnp.concatenate([f1, f2], axis=1)
             marginal = jnp.concatenate([f1, fm], axis=1)
         else:
             v = augment_train(k_a, x_joint, aug_cfg, ds_cfg)
             vm = augment_train(k_b, x_marg, aug_cfg, ds_cfg)
             flat = v.reshape(v.shape[0], -1)
-            joint = jnp.concatenate([flat, encode(v, k_d1)], axis=1)
-            marginal = jnp.concatenate([flat, encode(vm, k_d2)], axis=1)
+            joint = jnp.concatenate(
+                [flat, encode(frozen, v, k_d1)], axis=1)
+            marginal = jnp.concatenate(
+                [flat, encode(frozen, vm, k_d2)], axis=1)
         return joint, marginal
 
-    def mine_step(carry, xs):
-        state, log_ma = carry
-        idx_j, idx_m, k = xs
-        joint, marginal = sample(dataset.images, idx_j, idx_m, k)
+    def make_mine_step(frozen, images):
+        def mine_step(carry, xs):
+            state, log_ma = carry
+            idx_j, idx_m, k = xs
+            joint, marginal = sample(frozen, images, idx_j, idx_m, k)
 
-        def objective(params):
-            t_j = mine.apply({"params": params}, joint)
-            t_m = mine.apply({"params": params}, marginal)
-            loss, mi, new_ma = mine_loss(t_j, t_m, log_ma, ma_rate)
-            return loss, (mi, new_ma)
+            def objective(params):
+                t_j = mine.apply({"params": params}, joint)
+                t_m = mine.apply({"params": params}, marginal)
+                loss, mi, new_ma = mine_loss(t_j, t_m, log_ma, ma_rate)
+                return loss, (mi, new_ma)
 
-        (loss, (mi, new_ma)), grads = jax.value_and_grad(
-            objective, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates)
-        new_state = state.replace(
-            params=new_params, opt_state=new_opt, step=state.step + 1)
-        return (new_state, new_ma), (loss, mi)
+            (loss, (mi, new_ma)), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.params)
+            updates, new_opt = tx.update(
+                grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates)
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt, step=state.step + 1)
+            return (new_state, new_ma), (loss, mi)
+
+        return mine_step
 
     @partial(jax.jit, donate_argnums=0)
-    def run_chunk(carry, idx_j, idx_m, keys):
-        return jax.lax.scan(mine_step, carry, (idx_j, idx_m, keys))
+    def run_chunk(carry, frozen_args, images, idx_j, idx_m, keys):
+        return jax.lax.scan(make_mine_step(frozen_args, images), carry,
+                            (idx_j, idx_m, keys))
 
     # EMA state must be an array inside scan; initialize it with the true
     # first-step semantics (last_ma=None -> ma = mean(et), carried as
@@ -151,7 +162,7 @@ def train_mine(
     idx_j0 = jax.random.randint(k_j0, (batch,), 0, dataset.n)
     idx_m0 = jax.random.randint(k_m0, (batch,), 0, dataset.n)
     joint0, marg0 = jax.jit(sample)(
-        dataset.images, idx_j0, idx_m0, k_s0)
+        frozen, dataset.images, idx_j0, idx_m0, k_s0)
     t_m0 = mine.apply({"params": state.params}, marg0)
     log_ma = log_mean_exp(t_m0)
 
@@ -165,7 +176,8 @@ def train_mine(
         idx_j = jax.random.randint(k_j, (chunk, batch), 0, dataset.n)
         idx_m = jax.random.randint(k_m, (chunk, batch), 0, dataset.n)
         keys = jax.random.split(k_s, chunk)
-        carry, (losses, mis) = run_chunk(carry, idx_j, idx_m, keys)
+        carry, (losses, mis) = run_chunk(
+            carry, frozen, dataset.images, idx_j, idx_m, keys)
         losses, mis = np.asarray(losses), np.asarray(mis)
         losses_all.append(losses.mean())
         mis_all.append(mis.mean())
