@@ -133,7 +133,7 @@ def _pairwise_metrics(feat: Array, feat_pos: Array,
 
 
 def get_similarity_metrics(
-    feature_fn: Callable[[Array, jax.Array], Array],
+    feature_fn,
     ds: DeviceDataset,
     cfg: Config,
     batch_size: int = 256,
@@ -142,19 +142,23 @@ def get_similarity_metrics(
 ) -> Dict[str, np.ndarray]:
     """Similarity-metric distributions over augmented pairs.
 
-    `feature_fn(images_f32, key) -> features` defines the model under test;
-    use `contrastive_feature_fn` / `supervised_feature_fn` for the
-    reference's two drivers (metrics.py:76-129, 132-176).
+    `feature_fn` is a FeatureFn — (variables, images_f32, key) -> features
+    plus its variables — from `contrastive_feature_fn` /
+    `supervised_feature_fn` (the reference's two drivers,
+    metrics.py:76-129, 132-176), or any (fn, variables) pair. Variables are
+    jit arguments (not closure constants) so model weights never get baked
+    into the compiled program.
     """
+    fn, variables = feature_fn
     key = key if key is not None else jax.random.key(0)
     out = {k: [] for k in _METRIC_KEYS}
 
     @jax.jit
-    def batch_metrics(images, k):
+    def batch_metrics(variables, images, k):
         k_aug, k_f1, k_f2, k_perm = jax.random.split(k, 4)
         v1, v2 = augment_train_pair(k_aug, images, cfg.augment, cfg.dataset)
-        feat = feature_fn(v1, k_f1)
-        feat_pos = feature_fn(v2, k_f2)
+        feat = fn(variables, v1, k_f1)
+        feat_pos = fn(variables, v2, k_f2)
         perm = jax.random.permutation(k_perm, images.shape[0])
         return _pairwise_metrics(feat, feat_pos, perm)
 
@@ -164,7 +168,7 @@ def get_similarity_metrics(
         if n_batches is not None and i >= n_batches:
             break
         key, sub = jax.random.split(key)
-        m = batch_metrics(images, sub)
+        m = batch_metrics(variables, images, sub)
         for k in _METRIC_KEYS:
             out[k].extend(np.asarray(m[k]).tolist())
     return {k: np.asarray(v) for k, v in out.items()}
@@ -172,26 +176,28 @@ def get_similarity_metrics(
 
 def contrastive_feature_fn(model, params, batch_stats,
                            use_hidden_feat: bool = True):
-    """SimCLR h- or z-features (reference: metrics.py:105-110)."""
+    """SimCLR h- or z-features (reference: metrics.py:105-110).
+    Returns a FeatureFn: ((variables, x, key) -> features, variables)."""
     variables = {"params": params, "batch_stats": batch_stats}
 
-    def fn(x, key):
+    def fn(variables, x, key):
         h, z = model.apply(variables, x, train=False,
                            rngs={"dropout": key})
         return h if use_hidden_feat else z
 
-    return fn
+    return fn, variables
 
 
 def supervised_feature_fn(model, params, batch_stats):
-    """Supervised-model output features (reference: metrics.py:157-160)."""
+    """Supervised-model output features (reference: metrics.py:157-160).
+    Returns a FeatureFn: ((variables, x, key) -> features, variables)."""
     variables = {"params": params, "batch_stats": batch_stats}
 
-    def fn(x, key):
+    def fn(variables, x, key):
         return model.apply(variables, x, train=False,
                            rngs={"dropout": key})
 
-    return fn
+    return fn, variables
 
 
 def get_similarity_metrics_pairs(
@@ -219,10 +225,12 @@ def get_representation_analogy(
     flipped = orig[:, :, ::-1, :]  # RandomHorizontalFlip(p=1)
 
     out = {}
-    for name, fn in (("model1", feature_fn1), ("model2", feature_fn2)):
+    for name, feature_fn in (("model1", feature_fn1),
+                             ("model2", feature_fn2)):
+        fn, variables = feature_fn
         key, k1, k2 = jax.random.split(key, 3)
-        r_orig = fn(orig, k1)
-        r_aug = fn(flipped, k2)
+        r_orig = fn(variables, orig, k1)
+        r_aug = fn(variables, flipped, k2)
         out[f"{name}_l1"] = float(jnp.mean(jnp.abs(r_orig - r_aug)))
         out[f"{name}_l2"] = float(jnp.mean((r_orig - r_aug) ** 2))
     return out

@@ -104,10 +104,10 @@ class TestMetricDrivers:
         ds = DeviceDataset.from_numpy(imgs, np.zeros(64, np.int32))
         cfg = Config()
 
-        def feature_fn(x, key):
+        def fn(variables, x, key):
             return x.reshape(x.shape[0], -1)
 
-        m = get_similarity_metrics(feature_fn, ds, cfg, batch_size=32)
+        m = get_similarity_metrics((fn, {}), ds, cfg, batch_size=32)
         assert m["pos_cos"].shape == (64,)
         assert m["pos_cos"].mean() > m["neg_cos"].mean()
         assert m["pos_ned"].mean() < m["neg_ned"].mean()
@@ -118,14 +118,15 @@ class TestMetricDrivers:
         ds = DeviceDataset.from_numpy(imgs, np.zeros(16, np.int32))
         cfg = Config()
 
-        def flip_invariant(x, key):  # mean over W -> flip invariant
+        def flip_invariant(variables, x, key):  # mean over W -> invariant
             return jnp.mean(x, axis=2).reshape(x.shape[0], -1)
 
-        def flip_sensitive(x, key):
+        def flip_sensitive(variables, x, key):
             return x.reshape(x.shape[0], -1)
 
         out = get_representation_analogy(
-            flip_invariant, flip_sensitive, ds, cfg, batch_size=16)
+            (flip_invariant, {}), (flip_sensitive, {}), ds, cfg,
+            batch_size=16)
         assert out["model1_l2"] < out["model2_l2"]
         assert set(out) == {"model1_l1", "model1_l2",
                             "model2_l1", "model2_l2"}
