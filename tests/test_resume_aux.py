@@ -71,7 +71,7 @@ def test_evaluate_auxiliary(tmp_path):
 @pytest.mark.parametrize("script", [
     "scripts/pretrain.py", "scripts/train_ssl.py",
     "scripts/train_supervised.py", "scripts/train_mine.py",
-    "scripts/lin_eval.py", "scripts/analysis.py",
+    "scripts/lin_eval.py", "scripts/analysis.py", "scripts/temp_sweep.py",
 ])
 def test_cli_help(script):
     out = subprocess.run([sys.executable, script, "--help"],
