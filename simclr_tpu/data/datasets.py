@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import pickle
 import warnings
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -197,6 +198,9 @@ def load_dataset(
         f"stand-in with {n} samples (place the real binaries there to use "
         "them automatically)."
     )
-    # Distinct seeds per (name, split) so train/test don't overlap.
-    seed = abs(hash((name, split))) % (2 ** 31)
+    # Distinct seeds per (name, split) so train/test don't overlap. crc32 is
+    # stable across processes (Python's hash() is salted per interpreter,
+    # which would make the "deterministic" fallback differ between the
+    # pretrain and eval processes).
+    seed = zlib.crc32(f"{name}/{split}".encode())
     return synthetic_dataset(n, img_size=img_size, seed=seed)

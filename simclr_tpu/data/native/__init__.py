@@ -8,6 +8,7 @@ without a toolchain. See dataplane.cpp for the C ABI.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,21 +20,43 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "dataplane.cpp")
 _LIB_PATH = os.path.join(_HERE, "libdataplane.so")
+_STAMP_PATH = _LIB_PATH + ".srchash"
 
 _lib = None
 _lib_lock = threading.Lock()
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[str]:
+    # -march=native is safe here because the binary is always (re)built on
+    # the host that runs it: the .so is never committed, and a cached copy
+    # is only reused when the source-hash stamp written at build time
+    # matches (a stale or foreign binary is rebuilt, not trusted).
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            "-pthread", _SRC, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_STAMP_PATH, "w") as f:
+            f.write(_src_hash())
         return _LIB_PATH
     except (OSError, subprocess.SubprocessError) as e:
         warnings.warn(f"native data plane build failed ({e}); "
                       "using numpy fallbacks")
         return None
+
+
+def _cached_lib_fresh() -> bool:
+    if not os.path.isfile(_LIB_PATH) or not os.path.isfile(_STAMP_PATH):
+        return False
+    try:
+        with open(_STAMP_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -42,10 +65,18 @@ def load_library() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        path = _LIB_PATH if os.path.isfile(_LIB_PATH) else _build()
+        path = _LIB_PATH if _cached_lib_fresh() else _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # Cached binary unloadable (e.g. built for another host):
+            # rebuild once from source.
+            path = _build()
+            if path is None:
+                return None
+            lib = ctypes.CDLL(path)
         lib.decode_cifar10_binary.restype = ctypes.c_int64
         lib.decode_cifar10_binary.argtypes = [
             ctypes.c_char_p, ctypes.c_int,
@@ -134,9 +165,8 @@ class NativePipeline:
         if not self._handle:
             raise ValueError("pipeline_create failed (batch > n?)")
         self.steps_per_epoch = lib.pipeline_steps_per_epoch(self._handle)
-        # Two alternating output buffers so an async consumer (e.g. a
-        # still-inflight jax.device_put of batch t) never races the write
-        # of batch t+1.
+        # Two alternating output buffers: the C++ worker assembles batch
+        # t+1 while the caller consumes batch t.
         self._out = [
             (np.empty((batch_size,) + self.sample_shape, np.uint8),
              np.empty((batch_size,), np.int32))
@@ -144,12 +174,24 @@ class NativePipeline:
         ]
         self._slot = 0
 
-    def next(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking; returns views over an internal double buffer (valid
-        until the call after next)."""
+    def next(self, copy: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking; returns the next shuffled batch.
+
+        By default returns an OWNED copy (a ~1.5 MB memcpy at CIFAR batch
+        512 — negligible next to the device transfer), so the arrays stay
+        valid no matter how far an async consumer (e.g. JAX dispatch with
+        in-flight `jax.device_put`s) runs ahead. `copy=False` returns views
+        over the internal double buffer that are only valid until the
+        SECOND following `next()` call AND must not be read by still-
+        pending transfers at that point — callers taking this path must
+        synchronize (e.g. block on the device array from two calls ago)
+        before each call.
+        """
         imgs, labs = self._out[self._slot]
         self._slot ^= 1
         self._lib.pipeline_next(self._handle, _u8ptr(imgs), _i32ptr(labs))
+        if copy:
+            return imgs.copy(), labs.copy()
         return imgs, labs
 
     def close(self) -> None:

@@ -68,10 +68,20 @@ class SubsetBatchNorm(nn.Module):
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                # torch parity: BatchNorm normalizes with the biased batch
+                # variance but writes the UNBIASED (m/(m-1)) estimate into
+                # the running average (reference models use nn.BatchNorm2d
+                # defaults). m = elements reduced per channel.
+                m = 1
+                for ax in red:
+                    m *= xs.shape[ax]
+                if self.axis_name is not None:
+                    m *= jax.lax.psum(1, self.axis_name)
+                unbiased = var * (m / max(m - 1, 1))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * unbiased)
 
         y = (x.astype(self.dtype)
              - mean.astype(self.dtype)) * (

@@ -172,9 +172,23 @@ def _core_bwd(interpret, res, cotangents):
 _nt_xent_core.defvjp(_core_fwd, _core_bwd)
 
 
+# Leave headroom under the ~16 MB/core v5e VMEM for Mosaic's own scratch.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
 def supports(n: int, d: int) -> bool:
-    """TPU tiling constraints: lanes 128 / f32 sublanes 8."""
-    return (2 * n) % 8 == 0 and d % 128 == 0
+    """TPU tiling constraints (lanes 128 / f32 sublanes 8) AND a VMEM
+    budget: both kernels hold two 2Nx2N f32 buffers (S and exp/softmax of
+    S) plus two (2N, D) operand/output buffers live at once. Callers fall
+    back to the XLA implementation when this returns False, so there must
+    be NO shape for which supports() says yes but the kernel cannot
+    compile — batch 1024 (2N=2048, 32 MB of similarity alone) must be
+    rejected here, not die in Mosaic."""
+    n2 = 2 * n
+    if n2 % 8 != 0 or d % 128 != 0:
+        return False
+    live_bytes = 2 * (n2 * n2 * 4) + 2 * (n2 * d * 4)
+    return live_bytes <= _VMEM_BUDGET_BYTES
 
 
 def nt_xent_loss_pallas(

@@ -28,9 +28,14 @@ def test_full_fraction_matches_flax_batchnorm():
     np.testing.assert_allclose(
         np.asarray(us["batch_stats"]["mean"]),
         np.asarray(ur["batch_stats"]["mean"]), rtol=1e-5)
+    # flax stores the BIASED batch variance in its running average; we
+    # follow torch (unbiased, m/(m-1)). Reconstruct the expected value from
+    # flax's: ra = 0.9 * 1 (init) + 0.1 * batch_var.
+    m = x.shape[0]
+    flax_batch_var = (np.asarray(ur["batch_stats"]["var"]) - 0.9) / 0.1
+    expected = 0.9 + 0.1 * flax_batch_var * m / (m - 1)
     np.testing.assert_allclose(
-        np.asarray(us["batch_stats"]["var"]),
-        np.asarray(ur["batch_stats"]["var"]), rtol=1e-4)
+        np.asarray(us["batch_stats"]["var"]), expected, rtol=1e-4)
 
 
 def test_param_names_interchange_with_flax():
@@ -88,6 +93,78 @@ def test_eval_uses_running_averages():
     # Normalized output approx zero-mean unit-var.
     assert abs(float(y.mean())) < 0.1
     assert abs(float(y.std()) - 1.0) < 0.1
+
+
+def test_running_stats_match_torch_batchnorm():
+    """Bit-level parity of one train-mode update with torch.nn.BatchNorm2d
+    (the reference's BN): normalization uses biased batch variance, the
+    running average stores the unbiased (m/(m-1)) variance."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 4, 4, 16).astype(np.float32) * 2.0 + 1.0
+
+    bn_t = torch.nn.BatchNorm2d(16, eps=1e-5, momentum=0.1)
+    bn_t.train()
+    with torch.no_grad():
+        y_t = bn_t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    sub = SubsetBatchNorm(use_running_average=False, stats_fraction=1.0,
+                          momentum=0.9, dtype=jnp.float32)
+    vs = sub.init(jax.random.key(1), jnp.asarray(x))
+    ys, us = sub.apply(vs, jnp.asarray(x), mutable=["batch_stats"])
+
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["mean"]),
+        bn_t.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(us["batch_stats"]["var"]),
+        bn_t.running_var.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ys),
+        y_t.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_axis_name_pmean_matches_global_stats():
+    """The cross-device stats path (axis_name + pmean) under shard_map must
+    reproduce the stats of the unsharded global batch."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    x = jax.random.normal(jax.random.key(0), (64, 16)) * 2.0 + 1.0
+
+    sharded_bn = SubsetBatchNorm(use_running_average=False,
+                                 stats_fraction=1.0, axis_name="dp",
+                                 dtype=jnp.float32)
+    # Init via an axis-free twin (identical variable shapes) — init runs
+    # outside shard_map where the axis name is unbound.
+    vs = SubsetBatchNorm(use_running_average=False, stats_fraction=1.0,
+                         dtype=jnp.float32).init(jax.random.key(1), x)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("dp")),
+             out_specs=(P("dp"), P()))
+    def apply_sharded(variables, xs):
+        y, up = sharded_bn.apply(variables, xs, mutable=["batch_stats"])
+        return y, up["batch_stats"]
+
+    y_sh, stats_sh = apply_sharded(vs, x)
+
+    global_bn = SubsetBatchNorm(use_running_average=False,
+                                stats_fraction=1.0, dtype=jnp.float32)
+    y_gl, up_gl = global_bn.apply(vs, x, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_gl),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["mean"]),
+        np.asarray(up_gl["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["var"]),
+        np.asarray(up_gl["batch_stats"]["var"]), rtol=1e-4, atol=1e-5)
 
 
 def test_4d_nhwc_reduction_axes():

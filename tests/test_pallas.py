@@ -59,6 +59,27 @@ class TestNtXentPallas:
         assert not supports(16, 100)   # lanes
         assert not supports(6, 128)    # 2N % 8
 
+    def test_supports_vmem_budget(self):
+        """The kernel holds two 2Nx2N f32 buffers in VMEM; batch sizes whose
+        similarity matrix exceeds the budget must be rejected so the caller
+        falls back to XLA instead of failing Mosaic compilation."""
+        assert supports(512, 128)          # 2N=1024: ~9 MB live, fits
+        assert not supports(1024, 128)     # 2N=2048: >32 MB, must reject
+        assert not supports(2048, 128)
+
+    def test_large_batch_falls_back_to_xla(self):
+        """contrastive_fn must select the XLA path for VMEM-overflow
+        batches and still compute the correct loss."""
+        from simclr_tpu.config import Config, TrainConfig
+        from simclr_tpu.train.pretrain import contrastive_fn
+
+        cfg = Config(train=TrainConfig(batch_size=2048))
+        fn = contrastive_fn(cfg)  # must not pick the Pallas kernel
+        z1, z2 = rand_z(4, n=32)  # small shapes: we test selection, not size
+        loss, acc = fn(jnp.asarray(z1), jnp.asarray(z2))
+        ref_loss, _ = nt_xent_loss(z1, z2, cfg.train.temperature)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
     def test_works_inside_jit_and_grad_pipeline(self):
         """End-to-end: a tiny parameterized projection trained one step."""
         z1, z2 = rand_z(3, n=8)
