@@ -44,7 +44,8 @@ REF_SUSTAINED_FLOPS = 8.1e12 * 0.25
 REF_STEPS_PER_SEC = REF_SUSTAINED_FLOPS / REF_FLOP_PER_STEP  # ~0.49
 
 
-def bench_pretrain_steps(images, n_warmup=3, n_steps=20):
+def bench_pretrain_steps(images, n_warmup=2, n_steps=20, n_reps=3):
+    """Median steps/sec over `n_reps` timed epochs-scans of `n_steps`."""
     cfg = Config(train=TrainConfig(batch_size=BATCH, save_ckpt=False))
     model, state, tx = init_simclr(cfg, jax.random.key(0))
     engine = build_engine(cfg, model, tx)
@@ -55,18 +56,21 @@ def bench_pretrain_steps(images, n_warmup=3, n_steps=20):
     def run(state, steps, key):
         idx = epoch_permutation(key, n, BATCH)[:steps]
         state, (loss, acc) = engine.train_epoch(state, images, idx, key)
-        jax.block_until_ready(state.params)
+        # block_until_ready is unreliable through the axon tunnel; force a
+        # host transfer to synchronize.
         return state, float(np.asarray(loss)[-1])
 
-    # Warm up with the SAME scan length so the timed run hits the
+    # Warm up with the SAME scan length so the timed runs hit the
     # compilation cache (a different idx_mat shape would recompile).
     for w in range(n_warmup):
-        if w == 0:
-            state, _ = run(state, n_steps, key)
-    t0 = time.perf_counter()
-    state, last_loss = run(state, n_steps, jax.random.fold_in(key, 1))
-    dt = time.perf_counter() - t0
-    return n_steps / dt, last_loss
+        state, _ = run(state, n_steps, jax.random.fold_in(key, 1000 + w))
+
+    rates, last_loss = [], float("nan")
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        state, last_loss = run(state, n_steps, jax.random.fold_in(key, rep))
+        rates.append(n_steps / (time.perf_counter() - t0))
+    return float(np.median(rates)), rates, last_loss
 
 
 def bench_aug_pairs(images, n_warmup=2, n_iters=20):
@@ -94,8 +98,18 @@ def main():
         images_np, _ = load_dataset("cifar10", "train", "data")
     images = jax.device_put(images_np)
 
-    steps_per_sec, last_loss = bench_pretrain_steps(images)
+    steps_per_sec, rates, last_loss = bench_pretrain_steps(images)
     aug_pairs_per_sec = bench_aug_pairs(images)
+
+    # MFU: model FLOPs (2 views x BATCH imgs x ~1.34 GFLOP fwd x 3 for
+    # fwd+bwd; augmentation/optimizer excluded) over the device bf16 peak.
+    device_kind = jax.devices()[0].device_kind.lower()
+    peak = {"v5 lite": 197e12, "v5litepod": 197e12, "v4": 275e12,
+            "v5p": 459e12, "v6": 918e12}
+    peak_flops = next((v for k, v in peak.items() if k in device_kind), None)
+    model_flops = 2 * BATCH * 1.34e9 * 3
+    mfu_pct = (round(100 * model_flops * steps_per_sec / peak_flops, 2)
+               if peak_flops else None)
 
     print(json.dumps({
         "metric": "NT-Xent pretrain steps/sec "
@@ -103,6 +117,9 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
+        "p50_steps_per_sec": round(steps_per_sec, 3),
+        "rep_steps_per_sec": [round(r, 3) for r in rates],
+        "mfu_pct": mfu_pct,
         "aug_pairs_per_sec_per_chip": round(aug_pairs_per_sec, 1),
         "baseline_steps_per_sec_estimate": round(REF_STEPS_PER_SEC, 3),
         "imgs_per_sec": round(steps_per_sec * 2 * BATCH, 1),

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Accuracy-parity experiment: quantify whether the TPU performance tricks
+move linear-eval accuracy.
+
+BASELINE.md's acceptance gate is CIFAR-10 linear-eval top-1 within 0.5% of
+the reference's ~87-89% (examples/varying_batch_size.png). This framework
+deviates from strict torch semantics in three throughput-motivated ways,
+each toggleable:
+
+  * ``SubsetBatchNorm`` statistics from the leading 1/4 of the batch
+    (models/norm.py; the reference computes them from 64-sample
+    micro-batches, utils/model_utils.py:109-114) vs exact full-batch stats;
+  * bfloat16-applied BN (float32 statistics) vs float32 application;
+  * one fused 2N forward for both views vs the reference's two sequential
+    per-view forwards with per-view BN stats (model_utils.py:113-114).
+
+This CLI pretrains each variant on the same split and reports linear-eval
+test top-1 / loss side by side. Real CIFAR-10 is picked up automatically if
+the binaries are on disk (data/datasets.py); otherwise the deterministic
+synthetic stand-in is used and the comparison remains valid as an A/B of
+the variants (absolute numbers then don't map to the reference's).
+
+Artifacts: ``parity.json`` + ``parity.md`` under --out.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from simclr_tpu.config import Config  # noqa: E402
+
+VARIANTS = {
+    # name -> (model-config overrides, pretrain kwargs)
+    "default": ({}, {}),
+    "exact_bn_stats": ({"bn_stats_fraction": 1.0}, {}),
+    "f32_bn_apply": ({"bn_dtype": "float32"}, {}),
+    "two_pass_views": ({}, {"two_pass_views": True}),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--variants", nargs="+", default=list(VARIANTS),
+                   choices=list(VARIANTS))
+    p.add_argument("--n_epoch", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--dataset", default="cifar10",
+                   choices=["cifar10", "stl10"])
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--out", default="results/parity")
+    p.add_argument("--seeds", type=int, nargs="+", default=[0])
+    args = p.parse_args()
+
+    import jax
+
+    from simclr_tpu.data.datasets import is_real_data
+    from simclr_tpu.data.pipeline import make_split
+    from simclr_tpu.train.lin_eval import linear_evaluation
+    from simclr_tpu.train.pretrain import init_simclr, pretrain
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    base = Config.for_dataset(args.dataset).replace(data_dir=args.data_dir)
+    split = make_split(base, "pretrain")
+    le_split = make_split(base, "lin_eval")
+    test_split = make_split(base, "test")
+    real = is_real_data(args.dataset, args.data_dir)
+    print(f"data: {'REAL ' + args.dataset if real else 'synthetic stand-in'}")
+
+    rows = []
+    for name in args.variants:
+        model_over, pre_kwargs = VARIANTS[name]
+        for seed in args.seeds:
+            cfg = base.replace(
+                model=dataclasses.replace(base.model, **model_over),
+                train=dataclasses.replace(
+                    base.train, n_epoch=args.n_epoch,
+                    batch_size=args.batch_size, save_ckpt=False, seed=seed))
+            print(f"=== variant {name} (seed {seed}) ===")
+            res = pretrain(cfg, split=split, save_checkpoints=False,
+                           save_plots=False,
+                           export_path=str(out / f"model_{name}.msgpack"),
+                           **pre_kwargs)
+            model, _, _ = init_simclr(cfg, jax.random.key(0))
+            loss, acc = linear_evaluation(
+                model, res.state.params, res.state.batch_stats,
+                le_split.train, test_split.train, cfg)
+            rows.append({
+                "variant": name, "seed": seed,
+                "lin_eval_top1": acc, "lin_eval_loss": loss,
+                "final_val_acc": res.history.accuracy["valid"][-1]
+                if res.history.accuracy["valid"] else None,
+                "steps_per_sec": round(res.steps_per_sec, 3),
+                "real_data": real,
+            })
+            print(f"{name}[{seed}]: top1={acc:.2f}% loss={loss:.4f} "
+                  f"({res.steps_per_sec:.2f} steps/s)")
+
+    (out / "parity.json").write_text(json.dumps(rows, indent=2))
+    ref = next((r for r in rows if r["variant"] == "default"), rows[0])
+    lines = [
+        "# Accuracy-parity results",
+        "",
+        f"Data: {'real ' + args.dataset if real else 'synthetic stand-in'}"
+        f" | epochs {args.n_epoch} | batch {args.batch_size}",
+        "",
+        "| variant | seed | lin-eval top-1 | Δ vs default | steps/sec |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        delta = r["lin_eval_top1"] - ref["lin_eval_top1"]
+        lines.append(
+            f"| {r['variant']} | {r['seed']} | {r['lin_eval_top1']:.2f}% "
+            f"| {delta:+.2f}% | {r['steps_per_sec']} |")
+    (out / "parity.md").write_text("\n".join(lines) + "\n")
+    print(f"artifacts in {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,17 @@ class ModelConfig:
     # 1024-image two-view batch is still 4x the reference's 64-sample
     # statistics. 1.0 = exact full-batch stats.
     bn_stats_fraction: float = 0.25
+    # Run stride-1 identity bottlenecks as fused VMEM-resident Pallas
+    # kernels (ops/pallas/bottleneck.py). None = auto: enabled on
+    # single-chip TPU by init_simclr, off under meshes and on CPU.
+    fuse_identity_blocks: "bool | None" = None
+    # With fusion on, only fuse blocks whose bottleneck width (the 1x1/3x3
+    # channel count) is >= this. Narrow stages (layer1 C=64) tile poorly on
+    # the 128-lane MXU; wide stages (layer3/4, C>=256) are where VMEM
+    # residency pays.
+    fuse_min_width: int = 0
+    # Interpret-mode Pallas (CPU testing of the fused path).
+    fuse_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

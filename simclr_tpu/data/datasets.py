@@ -118,6 +118,19 @@ def load_stl10(data_dir: str, split: str = "unlabeled") -> Optional[Arrays]:
     return imgs, labels
 
 
+def is_real_data(name: str, data_dir: str = "data") -> bool:
+    """True when an on-disk copy of `name` exists under `data_dir` (i.e.
+    `load_dataset` will NOT fall back to the synthetic stand-in)."""
+    if name == "cifar10":
+        return (os.path.isdir(os.path.join(data_dir, "cifar-10-batches-py"))
+                or os.path.isdir(
+                    os.path.join(data_dir, "cifar-10-batches-bin")))
+    if name == "stl10":
+        return os.path.isfile(
+            os.path.join(data_dir, "stl10_binary", "unlabeled_X.bin"))
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Synthetic fallback
 # ---------------------------------------------------------------------------

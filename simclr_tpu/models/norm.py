@@ -61,12 +61,26 @@ class SubsetBatchNorm(nn.Module):
                         self.min_stats_samples), n)
             xs = x[:k].astype(jnp.float32)
             red = tuple(range(xs.ndim - 1))
-            mean = jnp.mean(xs, axis=red)
-            mean2 = jnp.mean(jnp.square(xs), axis=red)
+            # One-pass variance, shifted by the first sample's channel means
+            # for conditioning: raw E[x^2]-E[x]^2 cancels catastrophically
+            # in f32 when |mean| >> std (e.g. projection-head inputs). The
+            # shift is a gradient-neutral constant (stop_gradient), so
+            # mean/var gradients are unchanged.
+            shift = jax.lax.stop_gradient(jnp.mean(xs[:1], axis=red))
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+                # The shift must be COMMON across replicas: with per-shard
+                # shifts, pmean(mean_d)+shift_i reconstructs a per-shard
+                # (wrong, unreplicated) mean and the cross-terms corrupt
+                # the variance.
+                shift = jax.lax.pmean(shift, self.axis_name)
+            d = xs - shift
+            mean_d = jnp.mean(d, axis=red)
+            mean2_d = jnp.mean(jnp.square(d), axis=red)
+            if self.axis_name is not None:
+                mean_d = jax.lax.pmean(mean_d, self.axis_name)
+                mean2_d = jax.lax.pmean(mean2_d, self.axis_name)
+            mean = mean_d + shift
+            var = jnp.maximum(mean2_d - jnp.square(mean_d), 0.0)
             if not self.is_initializing():
                 # torch parity: BatchNorm normalizes with the biased batch
                 # variance but writes the UNBIASED (m/(m-1)) estimate into
@@ -88,3 +102,66 @@ class SubsetBatchNorm(nn.Module):
             jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
             * scale.astype(self.dtype)) + bias.astype(self.dtype)
         return y
+
+
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm that returns folded per-channel affines (A, B) instead of
+    a normalized tensor: normalize(y) == y * A + B with
+    A = scale * rsqrt(var + eps), B = bias - mean * A.
+
+    Used by the fused-bottleneck path (ops/pallas/bottleneck.py): the caller
+    computes the block's pre-activations on the SUBSET of the batch that
+    SubsetBatchNorm would slice (per-sample ops commute with row slicing, so
+    subset-only compute is exactly equivalent), passes them here for
+    statistics, and applies the returned affines to the full batch inside
+    the Pallas kernel. Parameter and batch_stats trees are IDENTICAL to
+    SubsetBatchNorm / flax BatchNorm ('scale'/'bias', 'mean'/'var'), so the
+    fused and unfused configurations interchange checkpoints freely.
+
+    In train mode `y_subset` must be the (already-sliced) subset of
+    pre-activations; statistics and the unbiased running-average update
+    follow SubsetBatchNorm exactly. With ``use_running_average`` the input
+    is ignored (may be None) and the affines fold the running statistics.
+    """
+
+    feats: int
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y_subset):
+        scale = self.param("scale", nn.initializers.ones, (self.feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.feats,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.feats,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            ys = y_subset.astype(jnp.float32)
+            red = tuple(range(ys.ndim - 1))
+            # Shifted one-pass variance — see SubsetBatchNorm.
+            shift = jax.lax.stop_gradient(jnp.mean(ys[:1], axis=red))
+            d = ys - shift
+            mean_d = jnp.mean(d, axis=red)
+            mean2_d = jnp.mean(jnp.square(d), axis=red)
+            mean = mean_d + shift
+            var = jnp.maximum(mean2_d - jnp.square(mean_d), 0.0)
+            if not self.is_initializing():
+                m = 1
+                for ax in red:
+                    m *= ys.shape[ax]
+                unbiased = var * (m / max(m - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return a, b

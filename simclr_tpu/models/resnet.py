@@ -28,12 +28,13 @@ Architecture parity with the reference:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from simclr_tpu.models.norm import SubsetBatchNorm
+from simclr_tpu.models.norm import FoldedBatchNorm, SubsetBatchNorm
 
 # torchvision initializes conv kernels with kaiming-normal fan_out
 # (gain for ReLU), which is variance_scaling(2.0, fan_out, normal).
@@ -42,18 +43,47 @@ conv_kernel_init = nn.initializers.variance_scaling(
 )
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only holder declaring a conv kernel under the same
+    name/shape nn.Conv would ('<name>/kernel', (kh, kw, in, out)), so the
+    fused-bottleneck path shares checkpoints with the nn.Conv path."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape,
+                          jnp.float32)
+
+
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1 bottleneck with identity shortcut."""
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck with identity shortcut.
+
+    When ``fused`` is set and the block is a stride-1 identity block
+    (in = out = 4*features), the whole block runs as a single VMEM-resident
+    Pallas kernel (ops/pallas/bottleneck.py) with SubsetBatchNorm-equivalent
+    two-pass statistics; parameter/batch_stats trees are identical to the
+    unfused path, so the two configurations interchange checkpoints.
+    """
 
     features: int           # Width of the 1x1/3x3 convs; output is 4x this.
     stride: int = 1
     norm: Callable[..., Any] = nn.BatchNorm
     dtype: Any = jnp.bfloat16
+    # Fused-path controls (set by ResNetEncoder).
+    fused: bool = False
+    fold_norm: Optional[Callable[..., FoldedBatchNorm]] = None
+    fused_interpret: bool = False
+    stats_fraction: float = 0.25
+    min_stats_samples: int = 64
 
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
+        if (self.fused and self.stride == 1
+                and x.shape[-1] == self.features * self.expansion):
+            return self._fused_block(x)
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
@@ -81,6 +111,70 @@ class Bottleneck(nn.Module):
 
         return nn.relu(y + residual)
 
+    def _fused_block(self, x):
+        """Identity-block path: two-pass subset statistics + fused Pallas
+        apply. Pass A runs the (cheap) block forward on exactly the rows
+        SubsetBatchNorm would slice — per-sample ops commute with row
+        slicing, so statistics semantics are unchanged and gradients flow
+        through them via the folded affines."""
+        from simclr_tpu.ops.pallas.bottleneck import (
+            fused_bottleneck, pick_tile)
+
+        c = self.features
+        f = c * self.expansion
+        dn = ("NHWC", "HWIO", "NHWC")
+        w1 = _ConvKernel((1, 1, f, c), name="conv1")()
+        w2 = _ConvKernel((3, 3, c, c), name="conv2")()
+        w3 = _ConvKernel((1, 1, c, f), name="conv3")()
+        bn1 = self.fold_norm(feats=c, name="bn1")
+        bn2 = self.fold_norm(feats=c, name="bn2")
+        bn3 = self.fold_norm(feats=f, name="bn3")
+
+        x = x.astype(self.dtype)
+        n = x.shape[0]
+
+        def conv(inp, w, pad):
+            return jax.lax.conv_general_dilated(
+                inp, w.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=dn)
+
+        if bn1.use_running_average:
+            a1f, b1f = bn1(None)
+            a2f, b2f = bn2(None)
+            a3f, b3f = bn3(None)
+        else:
+            k = min(max(int(n * self.stats_fraction),
+                        self.min_stats_samples), n)
+            xs = x[:k]
+            y1s = conv(xs, w1, "VALID")
+            a1f, b1f = bn1(y1s)
+            a1s = jnp.maximum(
+                y1s.astype(jnp.float32) * a1f + b1f, 0.0).astype(self.dtype)
+            y2s = conv(a1s, w2, [(1, 1), (1, 1)])
+            a2f, b2f = bn2(y2s)
+            a2s = jnp.maximum(
+                y2s.astype(jnp.float32) * a2f + b2f, 0.0).astype(self.dtype)
+            y3s = conv(a2s, w3, "VALID")
+            a3f, b3f = bn3(y3s)
+
+        tile = pick_tile(n, x.shape[1], x.shape[2], c)
+        if self.is_initializing() or tile is None:
+            # Plain-ops fallback (model init traces on tiny batches; shapes
+            # the kernel cannot tile). Same math as the kernel.
+            y1 = conv(x, w1, "VALID")
+            a1 = jnp.maximum(
+                y1.astype(jnp.float32) * a1f + b1f, 0.0).astype(self.dtype)
+            y2 = conv(a1, w2, [(1, 1), (1, 1)])
+            a2 = jnp.maximum(
+                y2.astype(jnp.float32) * a2f + b2f, 0.0).astype(self.dtype)
+            y3 = conv(a2, w3, "VALID")
+            out = (y3.astype(jnp.float32) * a3f + b3f
+                   + x.astype(jnp.float32))
+            return jnp.maximum(out, 0.0).astype(self.dtype)
+        return fused_bottleneck(
+            x, w1, w2, w3, (a1f, b1f, a2f, b2f, a3f, b3f),
+            tile=tile, interpret=self.fused_interpret)
+
 
 class ResNetEncoder(nn.Module):
     """ResNet-50 trunk producing pooled 2048-d features.
@@ -105,6 +199,14 @@ class ResNetEncoder(nn.Module):
     # Axis name for cross-replica BN stat syncing under shard_map; None means
     # stats over whatever batch this trace sees (global batch under pjit).
     bn_axis_name: Optional[str] = None
+    # Run stride-1 identity bottlenecks as fused Pallas kernels
+    # (ops/pallas/bottleneck.py). Single-chip TPU only — under a mesh the
+    # compiler must partition the convs. Checkpoint-compatible either way.
+    fuse_identity_blocks: bool = False
+    # Only fuse blocks with bottleneck width >= this (layer1 C=64 tiles
+    # poorly on the 128-lane MXU; layer3/4 C>=256 is where fusion pays).
+    fuse_min_width: int = 0
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -136,11 +238,20 @@ class ResNetEncoder(nn.Module):
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
                             padding=[(1, 1), (1, 1)])
 
+        fold = lambda **kw: FoldedBatchNorm(
+            use_running_average=not train,
+            momentum=0.9, epsilon=1e-5, **kw)
         for stage, n_blocks in enumerate(self.stage_sizes):
             for block in range(n_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
-                x = Bottleneck(self.width * 2 ** stage, stride=stride,
+                width = self.width * 2 ** stage
+                x = Bottleneck(width, stride=stride,
                                norm=norm, dtype=self.dtype,
+                               fused=(self.fuse_identity_blocks
+                                      and width >= self.fuse_min_width),
+                               fold_norm=fold,
+                               fused_interpret=self.fused_interpret,
+                               stats_fraction=self.bn_stats_fraction,
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

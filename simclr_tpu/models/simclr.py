@@ -41,6 +41,9 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         bn_dtype=jnp.dtype(cfg.bn_dtype),
         bn_stats_fraction=cfg.bn_stats_fraction,
         bn_axis_name=bn_axis_name,
+        fuse_identity_blocks=bool(cfg.fuse_identity_blocks),
+        fuse_min_width=cfg.fuse_min_width,
+        fused_interpret=cfg.fuse_interpret,
         name=name,
     )
 

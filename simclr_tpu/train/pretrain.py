@@ -105,6 +105,13 @@ def init_simclr(cfg: Config, key: jax.Array,
         # full-batch reductions are cheap (1/D of the data per chip), so
         # use exact statistics on meshes.
         model_cfg = dataclasses.replace(model_cfg, bn_stats_fraction=1.0)
+    if model_cfg.fuse_identity_blocks is None:
+        # Auto: measured on v5e (scripts/profile_step.py) the fully-fused
+        # Pallas path is a regression (6.66 vs 8.18 steps/sec — layer1/2
+        # tiles are too small for the MXU), so auto resolves to off until
+        # a per-stage win is demonstrated; opt in via config.
+        model_cfg = dataclasses.replace(
+            model_cfg, fuse_identity_blocks=False)
     model = SimCLR(cfg=model_cfg)
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
@@ -261,6 +268,7 @@ def pretrain(
     export_path: Optional[str] = None,
     metrics_path: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    save_plots: bool = True,
 ) -> PretrainResult:
     """Full pretraining driver (reference: pretrain.py:56-94 +
     utils/model_utils.py:41-173)."""
@@ -364,6 +372,25 @@ def pretrain(
         ckpt_lib.export_model(
             final_export, state.params, state.batch_stats, cfg.to_json())
         log(f"exported model: {final_export}")
+
+    if save_plots and history.loss["train"]:
+        # End-of-training loss/accuracy PNGs, like the reference
+        # (utils/model_utils.py:158-163 calling visualizations.py:222-242).
+        from simclr_tpu.utils.visualizations import plot_loss_acc
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        tag = (f"{'mod_loss_' if tcfg.modified_loss else ''}"
+               f"bs{batch}_nepoch{tcfg.n_epoch}_{cfg.dataset.name}_"
+               f"temp{str(tcfg.temperature).replace('.', '')}")
+        plot_loss_acc(history.loss["train"], history.accuracy["train"],
+                      title=f"train_{tag}", save_plot=True,
+                      save_dir=cfg.out_dir)
+        if history.loss["valid"]:
+            plot_loss_acc(history.loss["valid"],
+                          history.accuracy["valid"],
+                          title=f"valid_{tag}", save_plot=True,
+                          save_dir=cfg.out_dir)
+        log(f"saved loss/accuracy plots to {cfg.out_dir}")
 
     if metrics:
         metrics.close()

@@ -26,6 +26,10 @@ def _save(fig, save_path: Optional[str]):
         os.makedirs(os.path.dirname(os.path.abspath(save_path)),
                     exist_ok=True)
         fig.savefig(save_path, bbox_inches="tight", dpi=150)
+        # Saved figures are fire-and-forget from driver loops (e.g. the
+        # pretrain end-of-training plots): release pyplot's reference so
+        # long sweeps don't accumulate open figures.
+        _plt().close(fig)
     return fig
 
 

@@ -72,9 +72,22 @@ def test_evaluate_auxiliary(tmp_path):
     "scripts/pretrain.py", "scripts/train_ssl.py",
     "scripts/train_supervised.py", "scripts/train_mine.py",
     "scripts/lin_eval.py", "scripts/analysis.py", "scripts/temp_sweep.py",
+    "scripts/batch_sweep.py", "scripts/parity_run.py",
 ])
 def test_cli_help(script):
     out = subprocess.run([sys.executable, script, "--help"],
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert "usage" in out.stdout.lower()
+
+
+def test_pretrain_saves_loss_acc_plots(tmp_path):
+    """End-of-training loss/accuracy PNGs, like the reference's automatic
+    plot_loss_acc calls (reference: utils/model_utils.py:158-163)."""
+    import os
+
+    cfg = tiny_cfg(tmp_path, n_epoch=1, save_ckpt=False)
+    pretrain(cfg, split=tiny_split(), log=lambda m: None)
+    pngs = [f for f in os.listdir(cfg.out_dir) if f.endswith(".png")]
+    assert any(f.startswith("train_") for f in pngs)
+    assert any(f.startswith("valid_") for f in pngs)
