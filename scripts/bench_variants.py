@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""A/B-bench pretrain-step variants (fused stages, BN options) on the
+real chip. Reuses bench.py's warmed epoch-scan timing; prints one line
+per variant. This is the measurement tool behind the fused-bottleneck
+auto defaults (train/pretrain.py:init_simclr).
+
+Usage:
+  python scripts/bench_variants.py unfused fuse128 fuse256
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VARIANTS = {
+    "unfused": {},
+    "fuse64": {"fuse_identity_blocks": True, "fuse_min_width": 64},
+    "fuse128": {"fuse_identity_blocks": True, "fuse_min_width": 128},
+    "fuse256": {"fuse_identity_blocks": True, "fuse_min_width": 256},
+    "fuse512": {"fuse_identity_blocks": True, "fuse_min_width": 512},
+    "exact_bn": {"bn_stats_fraction": 1.0},
+    "folded": {"fold_bn_scales": True},
+    # Reference-parity statistics size: the torch reference estimates BN
+    # stats from 64-sample micro-batches (utils/model_utils.py:109-114).
+    "stats64": {"bn_stats_fraction": 0.0625},
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("variants", nargs="+", choices=list(VARIANTS))
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from simclr_tpu.config import Config, ModelConfig, TrainConfig
+    from simclr_tpu.data.datasets import load_dataset
+    from simclr_tpu.data.pipeline import epoch_permutation
+    from simclr_tpu.train.pretrain import build_engine, init_simclr
+
+    images_np, _ = load_dataset("cifar10", "train", "data")
+    images = jax.device_put(images_np)
+    n = images.shape[0]
+
+    for name in args.variants:
+        over = VARIANTS[name]
+        cfg = Config(
+            train=TrainConfig(batch_size=args.batch, save_ckpt=False),
+            model=ModelConfig(**over),
+        )
+        model, state, tx = init_simclr(cfg, jax.random.key(0))
+        engine = build_engine(cfg, model, tx)
+
+        def run(state, key):
+            idx = epoch_permutation(key, n, args.batch)[:args.steps]
+            state, (loss, _) = engine.train_epoch(state, images, idx, key)
+            return state, float(np.asarray(loss)[-1])
+
+        state, _ = run(state, jax.random.key(1))   # compile
+        state, _ = run(state, jax.random.key(2))   # warm
+        rates, loss = [], float("nan")
+        for rep in range(args.reps):
+            t0 = time.perf_counter()
+            state, loss = run(state, jax.random.fold_in(jax.random.key(3),
+                                                        rep))
+            rates.append(args.steps / (time.perf_counter() - t0))
+        med = float(np.median(rates))
+        print(f"{name:10s} {med:6.2f} steps/s "
+              f"({1e3 / med:6.1f} ms/step) reps="
+              f"{[round(r, 2) for r in rates]} loss={loss:.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

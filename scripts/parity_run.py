@@ -39,6 +39,10 @@ VARIANTS = {
     "exact_bn_stats": ({"bn_stats_fraction": 1.0}, {}),
     "f32_bn_apply": ({"bn_dtype": "float32"}, {}),
     "two_pass_views": ({}, {"two_pass_views": True}),
+    # Reference-parity 64-sample statistics (the torch reference computes
+    # BN stats from 64-image micro-batches, utils/model_utils.py:109-114);
+    # benches ~5% faster than the 1/4-subset default on v5e.
+    "stats64": ({"bn_stats_fraction": 0.0625}, {}),
 }
 
 

@@ -21,7 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
+    except ImportError:  # layout differs across TF versions
+        from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa
 
     paths = glob.glob(os.path.join(
         logdir, "**", "*.xplane.pb"), recursive=True)
@@ -39,16 +42,36 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
                 for m_id, m in plane.event_metadata.items()}
         totals = collections.Counter()
         count = collections.Counter()
+        import re as _re
+
+        def family(name: str) -> str:
+            """Aggregate HLO instruction names into op families:
+            '%convert_reduce_fusion.123 = bf16[...] fusion(...)' ->
+            'convert_reduce_fusion bf16[1024,32,32,256]'."""
+            head = name.split(" = ", 1)
+            op = _re.sub(r"\.\d+$", "", head[0].lstrip("%"))
+            shape = ""
+            if len(head) > 1:
+                m = _re.match(r"\(?\s*([a-z0-9]+\[[^\]]*\])", head[1])
+                if m:
+                    shape = " " + m.group(1)
+            return op + shape
+
         for line in plane.lines:
-            # XLA op lines carry the per-fusion events; step lines etc. are
-            # aggregates we skip to avoid double counting.
+            # Only the synchronous 'XLA Ops' line: 'Async XLA Ops' carries
+            # overlapped DMA copies whose durations double-count the
+            # compute they hide under, and step/module lines aggregate.
             lname = line.name.lower()
-            if "xla op" not in lname and "ops" != lname:
+            if lname not in ("xla ops", "ops"):
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                totals[name] += ev.duration_ps
-                count[name] += 1
+                if name.lstrip("%").startswith(("while", "body", "cond")):
+                    continue  # control wrappers double-count their bodies
+                if "copy-start" in name or "copy-done" in name:
+                    name = "async copies (overlapped)"
+                totals[family(name)] += ev.duration_ps
+                count[family(name)] += 1
         if not totals:
             # Fall back: aggregate every line except steps.
             for line in plane.lines:

@@ -127,6 +127,11 @@ class ModelConfig:
     fuse_min_width: int = 0
     # Interpret-mode Pallas (CPU testing of the fused path).
     fuse_interpret: bool = False
+    # Fold BN scales into conv kernels for identity blocks (XLA-only path,
+    # models/resnet.py Bottleneck._folded_block): turns the BN-scale
+    # gradient into a weight-shaped reduction. None = auto (resolved by
+    # init_simclr from measurement).
+    fold_bn_scales: "bool | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,6 +72,14 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.bfloat16
     # Fused-path controls (set by ResNetEncoder).
     fused: bool = False
+    # Weight-folded XLA path: fold the BN scale into the conv kernels
+    # (conv(x, w) * A == conv(x, w * A)), so the BN-scale gradient becomes
+    # a WEIGHT-shaped reduction instead of an activation-shaped one — the
+    # profiler showed those dgamma reductions (re-reading layer-sized
+    # activations) at ~30% of step time. Statistics come from a subset
+    # pass with unfolded weights (FoldedBatchNorm).
+    folded: bool = False
+    bn_train: bool = True   # train-mode statistics (folded path only)
     fold_norm: Optional[Callable[..., FoldedBatchNorm]] = None
     fused_interpret: bool = False
     stats_fraction: float = 0.25
@@ -81,9 +89,12 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if (self.fused and self.stride == 1
+        if (self.stride == 1
                 and x.shape[-1] == self.features * self.expansion):
-            return self._fused_block(x)
+            if self.fused:
+                return self._fused_block(x)
+            if self.folded:
+                return self._folded_block(x)
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
@@ -175,6 +186,65 @@ class Bottleneck(nn.Module):
             x, w1, w2, w3, (a1f, b1f, a2f, b2f, a3f, b3f),
             tile=tile, interpret=self.fused_interpret)
 
+    def _folded_block(self, x):
+        """Identity block built on `ops/foldconv.conv_subset_bn`: each
+        conv+BN pair trains with the BN-scale gradient recovered from the
+        conv WEIGHT gradient (sum(g*y) per channel == sum(w * wgrad(x, g))
+        — see foldconv.py), eliminating the activation-sized dgamma
+        reductions that dominate BN backward at CIFAR batch sizes.
+        Forward statistics semantics are exactly SubsetBatchNorm's;
+        parameter and batch_stats trees are unchanged, so checkpoints
+        interchange with every other block configuration."""
+        from simclr_tpu.models.norm import BNScaleBias
+        from simclr_tpu.ops.foldconv import conv_subset_bn
+
+        c = self.features
+        f = c * self.expansion
+        eps = 1e-5
+        w1 = _ConvKernel((1, 1, f, c), name="conv1")()
+        w2 = _ConvKernel((3, 3, c, c), name="conv2")()
+        w3 = _ConvKernel((1, 1, c, f), name="conv3")()
+        bn1 = BNScaleBias(feats=c, name="bn1")
+        bn2 = BNScaleBias(feats=c, name="bn2")
+        bn3 = BNScaleBias(feats=f, name="bn3")
+
+        x = x.astype(self.dtype)
+        n = x.shape[0]
+        p0 = ((0, 0), (0, 0))
+        p1 = ((1, 1), (1, 1))
+
+        if not self.bn_train:
+            # Eval: fold the running statistics, plain XLA convs.
+            def fold_eval(inp, w, bn, pad):
+                scale, bias, rm, rv = bn()
+                a = scale * jax.lax.rsqrt(rv + eps)
+                y = jax.lax.conv_general_dilated(
+                    inp, w.astype(self.dtype), (1, 1), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y.astype(jnp.float32) * a + (bias - rm * a)
+
+            a1 = jnp.maximum(fold_eval(x, w1, bn1, p0),
+                             0.0).astype(self.dtype)
+            a2 = jnp.maximum(fold_eval(a1, w2, bn2, p1),
+                             0.0).astype(self.dtype)
+            pre = fold_eval(a2, w3, bn3, p0) + x.astype(jnp.float32)
+            return jnp.maximum(pre, 0.0).astype(self.dtype)
+
+        k = min(max(int(n * self.stats_fraction),
+                    self.min_stats_samples), n)
+
+        def step(inp, w, bn, pad):
+            scale, bias, rm, _ = bn()
+            out, mean, var = conv_subset_bn(pad, k, eps, inp, w,
+                                            scale, bias, rm)
+            bn(mean, var, k * out.shape[1] * out.shape[2])
+            return out
+
+        a1 = jnp.maximum(step(x, w1, bn1, p0), 0.0)
+        a2 = jnp.maximum(step(a1, w2, bn2, p1), 0.0)
+        y3 = step(a2, w3, bn3, p0)
+        return jnp.maximum(y3 + x, 0.0)
+
 
 class ResNetEncoder(nn.Module):
     """ResNet-50 trunk producing pooled 2048-d features.
@@ -207,6 +277,8 @@ class ResNetEncoder(nn.Module):
     # poorly on the 128-lane MXU; layer3/4 C>=256 is where fusion pays).
     fuse_min_width: int = 0
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
+    # Weight-folded identity blocks (XLA-only; see Bottleneck._folded_block).
+    fold_bn_scales: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -249,6 +321,8 @@ class ResNetEncoder(nn.Module):
                                norm=norm, dtype=self.dtype,
                                fused=(self.fuse_identity_blocks
                                       and width >= self.fuse_min_width),
+                               folded=self.fold_bn_scales,
+                               bn_train=train,
                                fold_norm=fold,
                                fused_interpret=self.fused_interpret,
                                stats_fraction=self.bn_stats_fraction,

@@ -44,6 +44,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         fuse_identity_blocks=bool(cfg.fuse_identity_blocks),
         fuse_min_width=cfg.fuse_min_width,
         fused_interpret=cfg.fuse_interpret,
+        fold_bn_scales=bool(cfg.fold_bn_scales),
         name=name,
     )
 

@@ -112,6 +112,8 @@ def init_simclr(cfg: Config, key: jax.Array,
         # a per-stage win is demonstrated; opt in via config.
         model_cfg = dataclasses.replace(
             model_cfg, fuse_identity_blocks=False)
+    if model_cfg.fold_bn_scales is None:
+        model_cfg = dataclasses.replace(model_cfg, fold_bn_scales=False)
     model = SimCLR(cfg=model_cfg)
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)

@@ -144,3 +144,46 @@ def test_batch_stats_updated_in_train_mode(simclr_vars):
     before = variables["batch_stats"]["f"]["stem_bn"]["mean"]
     after = updates["batch_stats"]["f"]["stem_bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_folded_block_matches_unfused_f32():
+    """Weight-folded identity blocks (Bottleneck._folded_block) are exactly
+    equivalent to the standard path in float32: same outputs, same batch
+    stats, same gradients. conv(x, w) * A == conv(x, w * A)."""
+    kw = dict(stage_sizes=(2, 2), width=8, low_quality_img=True,
+              bn_stats_fraction=0.5, dtype=jnp.float32,
+              bn_dtype=jnp.float32)
+    enc_a = ResNetEncoder(**kw)
+    enc_b = ResNetEncoder(**kw, fold_bn_scales=True)
+    x = jax.random.normal(jax.random.key(1), (96, 8, 8, 3), jnp.float32)
+    vs = enc_a.init({"params": jax.random.key(0)}, x, train=True)
+
+    ya, upa = enc_a.apply(vs, x, train=True, mutable=["batch_stats"])
+    yb, upb = enc_b.apply(vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(upa["batch_stats"]),
+                    jax.tree.leaves(upb["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # Eval mode folds running statistics.
+    ye_a = enc_a.apply({"params": vs["params"], **upa}, x, train=False)
+    ye_b = enc_b.apply({"params": vs["params"], **upb}, x, train=False)
+    np.testing.assert_allclose(np.asarray(ye_a), np.asarray(ye_b),
+                               rtol=1e-4, atol=1e-5)
+
+    tgt = jax.random.normal(jax.random.key(7), (96, 32))
+
+    def loss_fn(params, enc):
+        y, _ = enc.apply({"params": params,
+                          "batch_stats": vs["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return jnp.mean((y[:, :32] - tgt) ** 2)
+
+    ga = jax.grad(loss_fn)(vs["params"], enc_a)
+    gb = jax.grad(loss_fn)(vs["params"], enc_b)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        a, b = np.ravel(a), np.ravel(b)
+        denom = np.linalg.norm(a) * np.linalg.norm(b) + 1e-30
+        assert float(np.dot(a, b) / denom) > 0.9999
