@@ -113,14 +113,17 @@ def main() -> None:
         f"Data: {'real ' + args.dataset if real else 'synthetic stand-in'}"
         f" | epochs {args.n_epoch} | batch {args.batch_size}",
         "",
-        "| variant | seed | lin-eval top-1 | Δ vs default | steps/sec |",
-        "|---|---|---|---|---|",
+        "| variant | seed | lin-eval top-1 | Δ vs default "
+        "| aux val acc | steps/sec |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         delta = r["lin_eval_top1"] - ref["lin_eval_top1"]
+        va = (f"{r['final_val_acc']:.2f}%"
+              if r["final_val_acc"] is not None else "-")
         lines.append(
             f"| {r['variant']} | {r['seed']} | {r['lin_eval_top1']:.2f}% "
-            f"| {delta:+.2f}% | {r['steps_per_sec']} |")
+            f"| {delta:+.2f}% | {va} | {r['steps_per_sec']} |")
     (out / "parity.md").write_text("\n".join(lines) + "\n")
     print(f"artifacts in {out}")
 
