@@ -47,7 +47,11 @@ def run_one(base: Config, split, batch: int, mode: str, n_epoch: int,
             base.train, batch_size=batch, accum_steps=1,
             n_epoch=n_epoch, save_ckpt=False)
     cfg = base.replace(train=train)
+    # save_plots=False: the per-run tag ignores `mode`, so global/accum
+    # runs would overwrite each other's PNGs; histories.json keeps the
+    # full curves and the sweep figure is rendered at the end.
     res = pretrain(cfg, split=split, save_checkpoints=False,
+                   save_plots=False,
                    export_path=str(out / f"model_{mode}_bs{batch}.msgpack"))
     record = {
         "batch": batch,
