@@ -26,8 +26,13 @@ Name mapping (torchvision -> this framework):
   conv1, bn1                         -> f/stem_conv, f/stem_bn
   layer{L}.{B}.conv{i}/bn{i}         -> f/layer{L}_{B}/conv{i}|bn{i}
   layer{L}.{B}.downsample.0|1        -> f/layer{L}_{B}/downsample_conv|_bn
-  g.{2i+1} Linear / g.{2i+2} BN1d    -> g/linear{i}, g/bn{i}
-  supervised_head Linear             -> supervised_head (fine-tune model)
+  g.g_linear{i} / g.g_bn{i}          -> g/linear{i}, g/bn{i}
+    (the reference names its head sub-modules via add_module,
+    reference models/simclr.py:28-39; plain numeric nn.Sequential
+    indices `g.{j}` from hand-built exports are tolerated too)
+  supervised_head.1 Linear           -> supervised_head (fine-tune model;
+    reference models/ssl.py:29-30 wraps it as Sequential(Flatten, Linear),
+    bare `supervised_head.weight` keys are tolerated too)
 
 The inverse direction (`simclr_to_torch_state_dict`) emits a reference-layout
 state_dict from flax params, used by the cross-implementation fidelity tests
@@ -119,10 +124,27 @@ def simclr_from_torch_state_dict(
         if parts[0] == "f":
             parts = parts[1:]
         elif parts[0] == "g":
-            # Reference head is an nn.Sequential: index 0 is Flatten, then
-            # alternating Linear / BatchNorm1d (ReLU/Dropout hold no params)
-            # (reference: models/simclr.py:27-41). Collect by module index,
-            # order-normalize below.
+            # Reference head sub-modules are NAMED via add_module
+            # ("g_linear0", "g_bn0", ... — reference models/simclr.py:28-39),
+            # so genuine reference checkpoints carry `g.g_linear{i}.*` /
+            # `g.g_bn{i}.*` keys. Map those directly.
+            named = re.match(r"^g_(linear|bn)(\d+)$", parts[1])
+            if named is not None:
+                kind, i = named.group(1), int(named.group(2))
+                leaf = parts[2]
+                if kind == "linear":
+                    if leaf == "weight":
+                        _set(params, ("g", f"linear{i}", "kernel"),
+                             _np(value).T)
+                    elif leaf == "bias":
+                        _set(params, ("g", f"linear{i}", "bias"), _np(value))
+                else:
+                    _assign_bn(params, stats, ("g", f"bn{i}"), leaf, value)
+                continue
+            # Fallback: a plain numeric nn.Sequential layout (index 0 is
+            # Flatten, then alternating Linear / BatchNorm1d; ReLU/Dropout
+            # hold no params). Collect by module index, order-normalize
+            # below.
             idx = int(parts[1])
             leaf = parts[2]
             if leaf == "weight":
@@ -138,7 +160,9 @@ def simclr_from_torch_state_dict(
                 head_bn.setdefault(idx, {})[leaf] = value
             continue
         elif parts[0] == "supervised_head":
-            # Flatten (no params) + Linear (reference: models/ssl.py:29-31).
+            # Sequential(Flatten, Linear) -> `supervised_head.1.{weight,bias}`
+            # (reference: models/ssl.py:29-30); `parts[-1]` also tolerates a
+            # bare-Linear `supervised_head.{weight,bias}` layout.
             leaf = parts[-1]
             if leaf == "weight":
                 _set(params, ("supervised_head", "kernel"),
@@ -190,7 +214,10 @@ def simclr_from_torch_state_dict(
 def simclr_to_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
     """Inverse of `simclr_from_torch_state_dict`: emit a reference-layout
     state_dict (numpy values) from flax trees — `f.*` torchvision encoder
-    keys and `g.{i}` Sequential head keys (reference: models/simclr.py:16-41).
+    keys and named `g.g_linear{i}` / `g.g_bn{i}` head keys exactly as the
+    reference's add_module layout produces them (reference:
+    models/simclr.py:28-39), so reference SimCLRMain.load_state_dict
+    accepts the export.
     """
     out: Dict[str, np.ndarray] = {}
 
@@ -219,22 +246,22 @@ def simclr_to_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
             bn(f"{t_pre}.downsample.1", mods["downsample_bn"],
                f_s[name]["downsample_bn"])
 
-    # Head Sequential indices (reference models/simclr.py:27-41 with
-    # num_proj_layers=2, no dropout): 0 Flatten, 1 Linear, 2 BN, 3 ReLU,
-    # 4 Linear(no bias), 5 BN.
+    # Head sub-modules are named via add_module in the reference
+    # (models/simclr.py:28-39): g_flatten, g_linear0, g_bn0, g_relu0, ...,
+    # g_linear{n-1} (no bias), g_bn{n-1}. Only Linear/BN carry params.
     g_p, g_s = params["g"], batch_stats["g"]
     n_layers = sum(1 for k in g_p if k.startswith("linear"))
-    seq_idx = 1
     for i in range(n_layers):
         lin = g_p[f"linear{i}"]
-        out[f"g.{seq_idx}.weight"] = _np(lin["kernel"]).T
+        out[f"g.g_linear{i}.weight"] = _np(lin["kernel"]).T
         if "bias" in lin:
-            out[f"g.{seq_idx}.bias"] = _np(lin["bias"])
-        bn(f"g.{seq_idx + 1}", g_p[f"bn{i}"], g_s[f"bn{i}"])
-        seq_idx += 3 if i < n_layers - 1 else 2
+            out[f"g.g_linear{i}.bias"] = _np(lin["bias"])
+        bn(f"g.g_bn{i}", g_p[f"bn{i}"], g_s[f"bn{i}"])
 
     if "supervised_head" in params:
-        out["supervised_head.weight"] = _np(
+        # Sequential(Flatten, Linear) -> index 1 (reference models/ssl.py:
+        # 29-30), so the export loads into reference SimCLRFineTune.
+        out["supervised_head.1.weight"] = _np(
             params["supervised_head"]["kernel"]).T
-        out["supervised_head.bias"] = _np(params["supervised_head"]["bias"])
+        out["supervised_head.1.bias"] = _np(params["supervised_head"]["bias"])
     return out

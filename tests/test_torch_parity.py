@@ -106,14 +106,17 @@ def make_reference_simclr(seed: int = 0):
                 x = getattr(self, f"layer{i + 1}")(x)
             return torch.flatten(self.avgpool(x), 1)
 
-    head = nn.Sequential(
-        nn.Flatten(),
-        nn.Linear(2048, 2048),
-        nn.BatchNorm1d(2048),
-        nn.ReLU(),
-        nn.Linear(2048, 128, bias=False),
-        nn.BatchNorm1d(128),
-    )
+    # The reference names its head sub-modules via add_module (reference
+    # models/simclr.py:28-39), so real checkpoints carry g.g_linear0.* /
+    # g.g_bn0.* keys — the oracle must use the same names or converter
+    # regressions on genuine reference layouts go unnoticed.
+    head = nn.Sequential()
+    head.add_module("g_flatten", nn.Flatten())
+    head.add_module("g_linear0", nn.Linear(2048, 2048))
+    head.add_module("g_bn0", nn.BatchNorm1d(2048))
+    head.add_module("g_relu0", nn.ReLU(inplace=True))
+    head.add_module("g_linear1", nn.Linear(2048, 128, bias=False))
+    head.add_module("g_bn1", nn.BatchNorm1d(128))
 
     class Ref(nn.Module):
         def __init__(self):
@@ -269,6 +272,57 @@ def test_adam_optimizer_exact_parity():
     for p_t, p_j in zip(tp, params):
         np.testing.assert_allclose(
             np.asarray(p_j), p_t.detach().numpy(), atol=1e-6, rtol=1e-5)
+
+
+def test_head_numeric_sequential_layout_tolerated(ported):
+    """Hand-built exports may use a plain numeric nn.Sequential head
+    (`g.1.weight`, `g.2.*`, ...); the importer must map it to the same tree
+    as the reference's named add_module layout."""
+    import torch.nn as nn
+
+    ref, params, _ = ported
+    named_sd = {k: v for k, v in ref.state_dict().items()
+                if k.startswith("g.")}
+    plain = nn.Sequential(
+        nn.Flatten(), nn.Linear(2048, 2048), nn.BatchNorm1d(2048),
+        nn.ReLU(), nn.Linear(2048, 128, bias=False), nn.BatchNorm1d(128))
+    plain.load_state_dict({
+        k.replace("g_linear0", "1").replace("g_bn0", "2")
+         .replace("g_linear1", "4").replace("g_bn1", "5")
+         .removeprefix("g."): v for k, v in named_sd.items()})
+    numeric_sd = {f"g.{k}": v for k, v in plain.state_dict().items()}
+
+    p_numeric, s_numeric = simclr_from_torch_state_dict(numeric_sd)
+    for (kp, a), (kp2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_numeric["g"])[0],
+            jax.tree_util.tree_flatten_with_path(params["g"])[0]):
+        assert jax.tree_util.keystr(kp) == jax.tree_util.keystr(kp2)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_supervised_head_sequential_layout():
+    """supervised_head round-trips through the reference's
+    Sequential(Flatten, Linear) key layout (`supervised_head.1.*`,
+    reference models/ssl.py:29-30)."""
+    rng = np.random.RandomState(7)
+    w = rng.randn(10, 2048).astype(np.float32)
+    b = rng.randn(10).astype(np.float32)
+    params, _ = simclr_from_torch_state_dict({
+        "supervised_head.1.weight": w, "supervised_head.1.bias": b})
+    np.testing.assert_array_equal(params["supervised_head"]["kernel"], w.T)
+    np.testing.assert_array_equal(params["supervised_head"]["bias"], b)
+
+    out = simclr_to_torch_state_dict(
+        {"f": {"stem_conv": {"kernel": np.zeros((3, 3, 3, 4), np.float32)},
+               "stem_bn": {"scale": np.ones(4, np.float32),
+                           "bias": np.zeros(4, np.float32)}},
+         "g": {},
+         "supervised_head": {"kernel": w.T, "bias": b}},
+        {"f": {"stem_bn": {"mean": np.zeros(4, np.float32),
+                           "var": np.ones(4, np.float32)}},
+         "g": {}})
+    np.testing.assert_array_equal(out["supervised_head.1.weight"], w)
+    np.testing.assert_array_equal(out["supervised_head.1.bias"], b)
 
 
 def test_state_dict_round_trip(ported):
