@@ -50,6 +50,11 @@ def main() -> None:
                    help="reference-parity sequential per-view forwards")
     p.add_argument("--n_devices", type=int, default=None,
                    help="devices in the data mesh (default: all)")
+    p.add_argument("--engine", default="pjit",
+                   choices=["pjit", "explicit"],
+                   help="collective strategy: pjit (XLA-inserted "
+                        "collectives) or explicit (shard_map with "
+                        "hand-placed all_gather/pmean/psum)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics_path", default=None,
                    help="append-only JSONL metrics log")
@@ -84,14 +89,19 @@ def main() -> None:
     from simclr_tpu.train.pretrain import pretrain
 
     n_dev = args.n_devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    # The explicit engine runs inside shard_map and needs a mesh even on
+    # one device; the pjit engine skips mesh machinery when single-device.
+    mesh = (make_mesh(n_dev) if n_dev > 1 or args.engine == "explicit"
+            else None)
     print(f"devices: {jax.devices()[:n_dev]} | mesh: "
-          f"{mesh.shape if mesh else 'single-device'}")
+          f"{mesh.shape if mesh else 'single-device'} | "
+          f"engine: {args.engine}")
     result = pretrain(
         cfg, mesh=mesh, resume_from=args.resume_training_path,
         two_pass_views=args.two_pass_views,
         metrics_path=args.metrics_path,
         profile_dir=args.profile_dir,
+        engine=args.engine,
     )
     print(f"done: {result.steps_per_sec:.2f} steps/sec | "
           f"export: {result.export_path}")

@@ -27,6 +27,7 @@ Equality with the single-device / pjit engine is asserted on an
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -37,7 +38,8 @@ from jax.sharding import PartitionSpec as P
 from simclr_tpu.config import Config
 from simclr_tpu.models.simclr import SimCLR
 from simclr_tpu.ops.augment import augment_train_pair
-from simclr_tpu.ops.losses import VERY_LARGE_NUM, l2_normalize
+from simclr_tpu.ops.losses import (
+    VERY_LARGE_NUM, l2_normalize, softplus_beta)
 from simclr_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 
 try:  # jax >= 0.8 top-level API; fall back for older versions
@@ -86,15 +88,62 @@ def _local_nt_xent(z_pair, n_global, temperature):
     return jnp.sum(ce), jnp.sum(hits)
 
 
+def _local_modified(z_pair, n_global, temperature):
+    """Local-row modified ("probabilistic") contrastive loss against
+    all-gathered columns (fidelity target: reference objective.py:58-98,
+    single-device form in ops/losses.modified_contrastive_loss).
+
+    softplus/L1 normalization are per-row (local); the B x B logits are
+    sharded by rows, columns all-gathered. Returns (sum CE over the 2m
+    local anchor rows, sum top-1 hits) — psum and divide by 2N outside.
+    """
+    m2, _ = z_pair.shape
+    m = m2 // 2
+    x = softplus_beta(z_pair.astype(jnp.float32), 0.8)
+    x = x / jnp.maximum(jnp.sum(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+
+    gathered = jax.lax.all_gather(x, DATA_AXIS, axis=0)  # (D, 2m, d)
+    d_shards = gathered.shape[0]
+    x1_all = gathered[:, :m, :].reshape(d_shards * m, -1)
+    x2_all = gathered[:, m:, :].reshape(d_shards * m, -1)
+    x1_loc, x2_loc = x[:m], x[m:]
+
+    i = jax.lax.axis_index(DATA_AXIS)
+    labels = i * m + jnp.arange(m, dtype=jnp.int32)      # global row ids
+
+    def direction(rows, cols):
+        logits = jnp.log(jnp.clip(
+            jnp.dot(rows, cols.T, preferred_element_type=jnp.float32)
+            * n_global, min=1e-4)) / temperature
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        hits = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+        return jnp.sum(ce), jnp.sum(hits)
+
+    ce_ab, hit_ab = direction(x1_loc, x2_all)
+    ce_ba, hit_ba = direction(x2_loc, x1_all)
+    return ce_ab + ce_ba, hit_ab + hit_ba
+
+
 def build_explicit_train_step(cfg: Config, model: SimCLR, tx, mesh):
     """jit-able (state, uint8_batch, key) -> (state, (loss, acc)) with all
     cross-device communication written explicitly. `model` must come from
     `make_explicit_model` (pmean'd BN). Augmentation runs under plain jit
     partitioning (per-sample, no communication); everything between the
     augmented views and the parameter update runs inside shard_map."""
+    if cfg.train.accum_steps > 1:
+        # Each call consumes a FULL global batch and applies tx.update
+        # once; a MultiSteps-wrapped tx would silently average unrelated
+        # full batches. Use the pjit engine for accumulation-parity runs.
+        raise ValueError(
+            "the explicit engine does not support accum_steps > 1 "
+            f"(got {cfg.train.accum_steps}); its mesh sharding IS the "
+            "large-batch mechanism")
     aug, ds_cfg = cfg.augment, cfg.dataset
     temperature = cfg.train.temperature
     n_global = cfg.train.batch_size
+    local_loss_fn = (_local_modified if cfg.train.modified_loss
+                     else _local_nt_xent)
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
@@ -108,7 +157,7 @@ def build_explicit_train_step(cfg: Config, model: SimCLR, tx, mesh):
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(
                     key, jax.lax.axis_index(DATA_AXIS))})
-            ce_sum, hit_sum = _local_nt_xent(z, n_global, temperature)
+            ce_sum, hit_sum = local_loss_fn(z, n_global, temperature)
             loss = jax.lax.psum(ce_sum, DATA_AXIS) / (2 * n_global)
             acc = jax.lax.psum(hit_sum, DATA_AXIS) * (100.0 / (2 * n_global))
             return loss, (acc, up["batch_stats"])
@@ -133,6 +182,56 @@ def build_explicit_train_step(cfg: Config, model: SimCLR, tx, mesh):
         new_state = state.replace(
             params=new_params, batch_stats=new_stats,
             opt_state=new_opt, step=state.step + 1)
-        return new_state, (loss / max(cfg.train.accum_steps, 1), acc)
+        return new_state, (loss, acc)
 
     return train_step
+
+
+def init_explicit(cfg: Config, key, mesh):
+    """Counterpart of train.pretrain.init_simclr for the explicit engine:
+    same parameter tree and optimizer (so checkpoints and engine-equality
+    tests interchange), but the returned model pmean's BN statistics over
+    the mesh axis and the state is replicated onto the mesh."""
+    from simclr_tpu.parallel.mesh import put_replicated
+    from simclr_tpu.train.pretrain import init_simclr
+
+    if mesh.size > 1 and cfg.model.bn_stats_fraction < 1.0:
+        # Mirror init_simclr's mesh rule: subset stats would slice each
+        # SHARD's leading rows; exact per-shard stats pmean'd over the mesh
+        # equal global-batch statistics and cost 1/D of the data per chip.
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, bn_stats_fraction=1.0))
+    _, state, tx = init_simclr(cfg, key, mesh=None)
+    return make_explicit_model(cfg), put_replicated(state, mesh), tx
+
+
+def build_explicit_engine(cfg: Config, model: SimCLR, tx, mesh):
+    """Epoch-granular engine (train/pretrain.PretrainEngine) around the
+    explicit-collective step: the whole epoch is one jitted lax.scan, same
+    as the pjit engine, so `train.pretrain.pretrain()` can drive either
+    engine interchangeably (select with scripts/pretrain.py --engine).
+
+    Evaluation reuses the standard engine's eval scan: eval-mode BN uses
+    running averages only, so the pmean axis never traces and the explicit
+    model applies cleanly under plain jit."""
+    from simclr_tpu.train.pretrain import PretrainEngine, build_engine
+
+    step = build_explicit_train_step(cfg, model, tx, mesh)
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_epoch(state, images, idx_mat, key):
+        keys = jax.random.split(key, idx_mat.shape[0])
+
+        def body(carry, xs):
+            idx, k = xs
+            return step(carry, jnp.take(images, idx, axis=0), k)
+
+        return jax.lax.scan(body, state, (idx_mat, keys))
+
+    eval_engine = build_engine(cfg, model, tx, mesh=mesh,
+                               use_pallas_ntxent=False)
+    return PretrainEngine(
+        cfg=cfg, model=model, tx=tx,
+        train_epoch=train_epoch, eval_epoch=eval_engine.eval_epoch,
+        train_step_direct=jax.jit(step, donate_argnums=0),
+        mesh=mesh)

@@ -271,17 +271,47 @@ def pretrain(
     metrics_path: Optional[str] = None,
     profile_dir: Optional[str] = None,
     save_plots: bool = True,
+    engine: str = "pjit",
+    init_variables: Optional[dict] = None,
 ) -> PretrainResult:
     """Full pretraining driver (reference: pretrain.py:56-94 +
-    utils/model_utils.py:41-173)."""
+    utils/model_utils.py:41-173). ``engine`` selects the collective
+    strategy: 'pjit' (sharding constraints, XLA-inserted collectives — the
+    default) or 'explicit' (parallel/explicit.py shard_map with hand-placed
+    all_gather/pmean/psum; requires a mesh). ``init_variables`` optionally
+    seeds the initial {'params', 'batch_stats'} trees — e.g. a reference
+    torch checkpoint ported via utils.torch_port — instead of the random
+    init (shapes must match; tree structure is validated by the replace)."""
     tcfg = cfg.train
     root_key = jax.random.key(tcfg.seed)
     k_init, k_data = jax.random.split(jax.random.fold_in(root_key, 0))
 
     if split is None:
         split = make_split(cfg, "pretrain")
-    model, state, tx = init_simclr(cfg, k_init, mesh)
-    engine = build_engine(cfg, model, tx, mesh, two_pass_views)
+    if engine == "explicit":
+        from simclr_tpu.parallel.explicit import (
+            build_explicit_engine, init_explicit)
+
+        if mesh is None:
+            raise ValueError("engine='explicit' requires a device mesh")
+        if two_pass_views:
+            raise ValueError("engine='explicit' does not implement "
+                             "two_pass_views (a single-device parity mode)")
+        model, state, tx = init_explicit(cfg, k_init, mesh)
+        engine = build_explicit_engine(cfg, model, tx, mesh)
+    elif engine == "pjit":
+        model, state, tx = init_simclr(cfg, k_init, mesh)
+        engine = build_engine(cfg, model, tx, mesh, two_pass_views)
+    else:
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(expected 'pjit' or 'explicit')")
+    if init_variables is not None:
+        cast = lambda ref, new: jax.tree.map(
+            lambda r, v: jnp.asarray(v, r.dtype), ref, new)
+        state = state.replace(
+            params=cast(state.params, init_variables["params"]),
+            batch_stats=cast(state.batch_stats,
+                             init_variables["batch_stats"]))
 
     history = History()
     start_epoch = 0
