@@ -140,33 +140,85 @@ def synthetic_dataset(
     img_size: int = 32,
     n_classes: int = 10,
     seed: int = 0,
+    difficulty: str = "hard",
+    intra_scale: float = 1.5,
 ) -> Arrays:
     """Deterministic class-structured images.
 
-    Each class has a characteristic low-frequency colour pattern plus
-    per-sample noise and a random global shift, so that contrastive
-    pretraining, linear eval, and fine-tuning all have real signal to learn —
-    the pipelines behave qualitatively like on CIFAR, just easier.
+    ``difficulty='easy'`` (the original stand-in): each class has a
+    characteristic low-frequency colour pattern plus mild noise — nearly
+    linearly separable, useful for pipeline-mechanics tests, but
+    NON-discriminative for accuracy experiments: every model variant hits
+    ~100% linear eval on it.
+
+    ``difficulty='hard'`` (default, used by `load_dataset`): images are
+    rendered from a 24-pattern low-frequency basis. Only 8 basis
+    coefficients carry class signal (distinct class means); the other 16
+    are large-amplitude per-sample nuisance. On top: per-sample
+    class-mean-relative latent noise (``intra_scale``), random per-channel
+    gain/bias (colour is unreliable), and pixel noise. Class overlap is
+    real (Bayes error well above zero), so linear-eval accuracy lands in a
+    regime where a 0.5%-level accuracy difference between model variants
+    is measurable rather than saturated at 100% — the property the
+    round-2 parity/batch-sweep experiments lacked (results/parity).
+
+    The basis/class structure comes from a FIXED RandomState so train and
+    test splits (different ``seed``) share the same classes.
     """
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, n_classes, size=n).astype(np.int32)
     yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
-    proto = np.stack(
-        [
-            np.stack(
-                [
-                    np.sin(2 * np.pi * ((c % 3 + 1) * xx + c)) * 0.5 + 0.5,
-                    np.cos(2 * np.pi * ((c % 4 + 1) * yy - c)) * 0.5 + 0.5,
-                    np.sin(2 * np.pi * ((c % 5 + 1) * (xx + yy))) * 0.5 + 0.5,
-                ],
-                axis=-1,
-            )
-            for c in range(n_classes)
-        ]
-    )  # (C, H, W, 3)
-    imgs = proto[labels]
-    imgs = imgs + rng.randn(n, 1, 1, 3) * 0.15  # per-sample colour shift
-    imgs = imgs + rng.randn(n, img_size, img_size, 3) * 0.08
+
+    if difficulty == "easy":
+        proto = np.stack(
+            [
+                np.stack(
+                    [
+                        np.sin(2 * np.pi * ((c % 3 + 1) * xx + c)) * 0.5
+                        + 0.5,
+                        np.cos(2 * np.pi * ((c % 4 + 1) * yy - c)) * 0.5
+                        + 0.5,
+                        np.sin(2 * np.pi * ((c % 5 + 1) * (xx + yy))) * 0.5
+                        + 0.5,
+                    ],
+                    axis=-1,
+                )
+                for c in range(n_classes)
+            ]
+        )  # (C, H, W, 3)
+        imgs = proto[labels]
+        imgs = imgs + rng.randn(n, 1, 1, 3) * 0.15  # per-sample colour shift
+        imgs = imgs + rng.randn(n, img_size, img_size, 3) * 0.08
+        return (np.clip(imgs * 255.0, 0, 255).astype(np.uint8), labels)
+    if difficulty != "hard":
+        raise ValueError(f"unknown difficulty {difficulty!r}")
+
+    n_basis, n_signal = 24, 8
+    frng = np.random.RandomState(0xC1FA)  # class structure: split-invariant
+    freqs = frng.uniform(0.5, 3.5, size=(n_basis, 2))
+    phases = frng.uniform(0, 2 * np.pi, size=(n_basis, 3))
+    chan = frng.randn(n_basis, 3) / np.sqrt(3)
+    # (n_basis, H, W, 3) smooth patterns.
+    arg = 2 * np.pi * (freqs[:, 0, None, None] * xx
+                       + freqs[:, 1, None, None] * yy)
+    basis = (np.sin(arg[..., None] + phases[:, None, None, :])
+             * chan[:, None, None, :]).astype(np.float32)
+    class_means = frng.randn(n_classes, n_signal).astype(np.float32)
+
+    coeff = np.zeros((n, n_basis), np.float32)
+    coeff[:, :n_signal] = (class_means[labels]
+                           + rng.randn(n, n_signal).astype(np.float32)
+                           * intra_scale)
+    # Nuisance dimensions: as large as the signal, class-independent.
+    coeff[:, n_signal:] = rng.randn(n, n_basis - n_signal) * 1.5
+
+    imgs = np.tensordot(coeff, basis, axes=(1, 0))  # (n, H, W, 3)
+    imgs = imgs / 6.0 + 0.5
+    # Per-sample channel gain/bias: colour statistics are unreliable.
+    gain = 1.0 + rng.randn(n, 1, 1, 3).astype(np.float32) * 0.25
+    bias = rng.randn(n, 1, 1, 3).astype(np.float32) * 0.12
+    imgs = imgs * gain + bias
+    imgs = imgs + rng.randn(n, img_size, img_size, 3) * 0.10
     return (np.clip(imgs * 255.0, 0, 255).astype(np.uint8), labels)
 
 

@@ -100,15 +100,21 @@ class TestDatasets:
         np.testing.assert_array_equal(a_labels, b_labels)
 
     def test_synthetic_has_class_signal(self):
-        imgs, labels = synthetic_dataset(500, seed=3)
-        # Same-class images must correlate more than cross-class.
-        f = imgs.reshape(500, -1).astype(np.float32)
-        f = (f - f.mean(1, keepdims=True))
-        f /= np.linalg.norm(f, axis=1, keepdims=True)
-        sim = f @ f.T
-        same = sim[labels[:, None] == labels[None, :]].mean()
-        diff = sim[labels[:, None] != labels[None, :]].mean()
-        assert same > diff + 0.2
+        # Same-class images must correlate more than cross-class — but the
+        # default 'hard' stand-in DELIBERATELY keeps raw-pixel similarity
+        # weak (large nuisance components + unreliable colour) so accuracy
+        # experiments don't saturate at 100% (measured margin ~0.10, vs
+        # ~0.7 for 'easy'; raw-pixel linear probe ~23%).
+        for difficulty, min_margin in (("hard", 0.05), ("easy", 0.2)):
+            imgs, labels = synthetic_dataset(
+                500, seed=3, difficulty=difficulty)
+            f = imgs.reshape(500, -1).astype(np.float32)
+            f = (f - f.mean(1, keepdims=True))
+            f /= np.linalg.norm(f, axis=1, keepdims=True)
+            sim = f @ f.T
+            same = sim[labels[:, None] == labels[None, :]].mean()
+            diff = sim[labels[:, None] != labels[None, :]].mean()
+            assert same > diff + min_margin, (difficulty, same, diff)
 
 
 class TestPipeline:
