@@ -73,19 +73,35 @@ def bench_pretrain_steps(images, n_warmup=2, n_steps=20, n_reps=3):
     return float(np.median(rates)), rates, last_loss
 
 
-def bench_aug_pairs(images, n_warmup=2, n_iters=20):
+def bench_aug_pairs(images, n_warmup=2, n_iters=50, n_reps=5):
+    """Median aug-pairs/sec over `n_reps` single-dispatch scans.
+
+    The whole `n_iters`-iteration loop runs inside ONE jitted lax.scan:
+    per-iteration Python dispatch through the axon tunnel costs ~10 ms of
+    round-trip latency each, which at ~2 ms of device work per batch
+    measured the tunnel instead of the chip (run-to-run swings of
+    44k-238k pairs/sec in earlier rounds). A reduced checksum keeps the
+    views live without streaming them back."""
     cfg = Config()
-    aug = jax.jit(lambda k, x: augment_train_pair(
-        k, x, cfg.augment, cfg.dataset))
     batch = images[:BATCH]
+
+    @jax.jit
+    def scan_aug(key, x):
+        def body(acc, k):
+            v1, v2 = augment_train_pair(k, x, cfg.augment, cfg.dataset)
+            return acc + jnp.sum(v1) + jnp.sum(v2), None
+        keys = jax.random.split(key, n_iters)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), keys)
+        return acc
+
     for i in range(n_warmup):
-        jax.block_until_ready(aug(jax.random.key(i), batch))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = aug(jax.random.key(100 + i), batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return BATCH * n_iters / dt
+        np.asarray(scan_aug(jax.random.key(i), batch))
+    rates = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        np.asarray(scan_aug(jax.random.key(100 + rep), batch))
+        rates.append(BATCH * n_iters / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def main():

@@ -32,6 +32,13 @@ def main() -> None:
     p.add_argument("--tsne_points", type=int, default=3000)
     p.add_argument("--use_final_feat", action="store_true",
                    help="analyze z instead of h")
+    p.add_argument("--supervised_model", default=None,
+                   help="supervised baseline export (.msgpack from "
+                        "scripts/train_supervised.py --export_path); when "
+                        "given, the *_comp.png KDEs become the reference's "
+                        "three-way overlay — contrastive h vs contrastive z "
+                        "vs supervised (reference visualizations.py:11-47, "
+                        "examples/{ned,cc,cos,nmi}_comp.png)")
     args = p.parse_args()
 
     import jax
@@ -47,6 +54,7 @@ def main() -> None:
         get_similarity_metrics,
     )
     from simclr_tpu.utils.visualizations import (
+        kde_multi_plot,
         kde_single_model_plot,
         tsne_plot,
     )
@@ -68,11 +76,41 @@ def main() -> None:
     metrics = get_similarity_metrics(
         feature_fn, test.train, cfg, batch_size=256,
         n_batches=args.n_batches)
-    for key_name in ("ned", "cc", "cos", "nmi"):
-        kde_single_model_plot(
-            metrics, key_name,
-            title=f"{key_name} (positive vs negative pairs)",
-            save_path=str(out / f"{key_name}_comp.png"))
+    if args.supervised_model:
+        # Reference flagship figure: contrastive-h vs contrastive-z vs
+        # supervised overlaid per metric (visualizations.py:11-47).
+        from simclr_tpu.models.resnet import SupervisedResNet
+        from simclr_tpu.utils.metrics import supervised_feature_fn
+
+        z_fn = contrastive_feature_fn(
+            model, params, batch_stats, use_hidden_feat=False)
+        metrics_z = get_similarity_metrics(
+            z_fn, test.train, cfg, batch_size=256,
+            n_batches=args.n_batches)
+        sup_params, sup_stats, _ = load_exported_model(
+            args.supervised_model)
+        sup_model = SupervisedResNet(
+            num_classes=cfg.dataset.num_classes,
+            low_quality_img=cfg.model.low_quality_img,
+            stage_sizes=cfg.model.stage_sizes,
+            width=cfg.model.width,
+            bn_stats_fraction=cfg.model.bn_stats_fraction)
+        sup_fn = supervised_feature_fn(sup_model, sup_params, sup_stats)
+        metrics_sup = get_similarity_metrics(
+            sup_fn, test.train, cfg, batch_size=256,
+            n_batches=args.n_batches)
+        for key_name in ("ned", "cc", "cos", "nmi"):
+            kde_multi_plot(
+                [metrics, metrics_z, metrics_sup], key_name,
+                labels=("contrastive h", "contrastive z", "supervised"),
+                title=f"{key_name} (positive vs negative pairs)",
+                save_path=str(out / f"{key_name}_comp.png"))
+    else:
+        for key_name in ("ned", "cc", "cos", "nmi"):
+            kde_single_model_plot(
+                metrics, key_name,
+                title=f"{key_name} (positive vs negative pairs)",
+                save_path=str(out / f"{key_name}_comp.png"))
     print(f"pos/neg cosine means: {metrics['pos_cos'].mean():.3f} / "
           f"{metrics['neg_cos'].mean():.3f}")
 

@@ -20,6 +20,10 @@ def main() -> None:
     p.add_argument("--data_dir", default="data")
     p.add_argument("--n_epoch", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--export_path", default=None,
+                   help="save the trained model as a .msgpack artifact "
+                        "(consumable by scripts/analysis.py "
+                        "--supervised_model for the three-way KDEs)")
     args = p.parse_args()
 
     cfg = Config.for_dataset(args.dataset).replace(data_dir=args.data_dir)
@@ -37,6 +41,12 @@ def main() -> None:
         n_epochs=args.n_epoch)
     print(f"best val acc: {result.best_acc:.2f}% | "
           f"test acc: {result.test_acc:.2f}%")
+    if args.export_path:
+        from simclr_tpu.utils.checkpoint import export_model
+
+        export_model(args.export_path, result.state.params,
+                     result.state.batch_stats)
+        print(f"exported model: {args.export_path}")
 
 
 if __name__ == "__main__":

@@ -169,9 +169,12 @@ class Bottleneck(nn.Module):
             a3f, b3f = bn3(y3s)
 
         tile = pick_tile(n, x.shape[1], x.shape[2], c)
-        if self.is_initializing() or tile is None:
+        if (self.is_initializing() or tile is None
+                or self.dtype != jnp.bfloat16):
             # Plain-ops fallback (model init traces on tiny batches; shapes
-            # the kernel cannot tile). Same math as the kernel.
+            # the kernel cannot tile; non-bf16 compute dtypes — the Pallas
+            # kernel computes in bf16 and would silently downgrade an f32
+            # parity configuration). Same math as the kernel.
             y1 = conv(x, w1, "VALID")
             a1 = jnp.maximum(
                 y1.astype(jnp.float32) * a1f + b1f, 0.0).astype(self.dtype)

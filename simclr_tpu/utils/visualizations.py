@@ -33,6 +33,35 @@ def _save(fig, save_path: Optional[str]):
     return fig
 
 
+def kde_multi_plot(
+    metrics_list: Sequence[Dict[str, np.ndarray]],
+    metric_key: str,
+    labels: Sequence[str],
+    title: str = "",
+    save_path: Optional[str] = None,
+):
+    """KDE of a similarity metric for N models, positives vs negatives.
+
+    The reference's flagship analysis figure overlays THREE models —
+    contrastive h-features, contrastive z-projections, and the supervised
+    baseline (reference: visualizations.py:11-47, behind
+    examples/{ned,cc,cos,nmi}_comp.png); this is its N-way counterpart."""
+    plt = _plt()
+    import seaborn as sns
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4), sharey=True)
+    for ax, which in zip(axes, ("pos", "neg")):
+        key = f"{which}_{metric_key}"
+        for metrics, label in zip(metrics_list, labels):
+            sns.kdeplot(metrics[key], ax=ax, label=label, fill=True,
+                        alpha=0.4)
+        ax.set_title(f"{which} pairs")
+        ax.set_xlabel(metric_key)
+        ax.legend()
+    fig.suptitle(title or f"{metric_key} comparison")
+    return _save(fig, save_path)
+
+
 def kde_comparison_plot(
     metrics_a: Dict[str, np.ndarray],
     metrics_b: Dict[str, np.ndarray],
@@ -41,23 +70,9 @@ def kde_comparison_plot(
     title: str = "",
     save_path: Optional[str] = None,
 ):
-    """KDE of a similarity metric for two models, positives vs negatives
-    (reference: visualizations.py:11-47)."""
-    plt = _plt()
-    import seaborn as sns
-
-    fig, axes = plt.subplots(1, 2, figsize=(11, 4), sharey=True)
-    for ax, which in zip(axes, ("pos", "neg")):
-        key = f"{which}_{metric_key}"
-        sns.kdeplot(metrics_a[key], ax=ax, label=labels[0], fill=True,
-                    alpha=0.4)
-        sns.kdeplot(metrics_b[key], ax=ax, label=labels[1], fill=True,
-                    alpha=0.4)
-        ax.set_title(f"{which} pairs")
-        ax.set_xlabel(metric_key)
-        ax.legend()
-    fig.suptitle(title or f"{metric_key} comparison")
-    return _save(fig, save_path)
+    """Two-model KDE comparison (reference: visualizations.py:11-47)."""
+    return kde_multi_plot([metrics_a, metrics_b], metric_key, labels,
+                          title=title, save_path=save_path)
 
 
 def kde_single_model_plot(
