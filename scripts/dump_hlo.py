@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Dump and summarize the optimized HLO of the pretrain step.
+
+Compiles the single-step train function exactly as the bench runs it and
+writes the post-optimization HLO text, plus a summary of the largest
+fusions (op kind, output shapes, operand shapes) so the per-op-family
+profile (scripts/profile_step.py) can be matched to actual fused
+computations — e.g. whether the BN-backward dgamma/dbeta reductions share
+a fusion with the elementwise dx pass or re-read activations in a
+separate pass.
+"""
+
+import argparse
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="/tmp/pretrain_step_hlo.txt")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--cpu", action="store_true",
+                   help="compile for CPU instead of the TPU backend "
+                        "(structure differs; TPU is the real target)")
+    p.add_argument("--top", type=int, default=40)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simclr_tpu.config import Config, TrainConfig
+    from simclr_tpu.train.pretrain import build_engine, init_simclr
+
+    cfg = Config(train=TrainConfig(batch_size=args.batch_size,
+                                   save_ckpt=False))
+    model, state, tx = init_simclr(cfg, jax.random.key(0))
+    engine = build_engine(cfg, model, tx)
+
+    images = jnp.zeros((args.batch_size * 2, 32, 32, 3), jnp.uint8)
+    idx = jnp.arange(args.batch_size)[None, :]
+    lowered = jax.jit(engine.train_epoch).lower(
+        state, images, idx, jax.random.key(1))
+    compiled = lowered.compile()
+    text = compiled.as_text()
+    Path(args.out).write_text(text)
+    print(f"wrote {len(text.splitlines())} HLO lines to {args.out}")
+
+    # Summarize fusions: name, kind, root op, total operand bytes.
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "u8": 1, "s8": 1, "pred": 1, "f64": 8, "u64": 8}
+
+    def shape_bytes(sh: str) -> int:
+        m = re.match(r"(\w+)\[([\d,]*)\]", sh)
+        if not m:
+            return 0
+        b = dtype_bytes.get(m.group(1), 4)
+        dims = m.group(2)
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        return b * n
+
+    # Parse top-level instructions of the entry computation plus fusion
+    # kinds; HLO text: `%name = TYPE fusion(...), kind=kLoop, calls=...`
+    fusions = []
+    for line in text.splitlines():
+        line = line.strip()
+        m = re.match(
+            r"%?([\w.\-]+) = ((?:\([^)]*\)|\S+)) fusion\((.*?)\), "
+            r"kind=(\w+)", line)
+        if m:
+            name, out_sh, operands, kind = m.groups()
+            outs = re.findall(r"\w+\[[\d,]*\]", out_sh)
+            out_b = sum(shape_bytes(s) for s in outs)
+            op_shapes = re.findall(r"\w+\[[\d,]*\]", operands)
+            in_b = sum(shape_bytes(s) for s in op_shapes)
+            fusions.append((in_b + out_b, name, kind, out_sh[:90],
+                            len(op_shapes)))
+    fusions.sort(reverse=True)
+    print(f"\n{len(fusions)} fusions; top {args.top} by operand+output "
+          "bytes (MB):")
+    for tot, name, kind, out_sh, n_ops in fusions[:args.top]:
+        print(f"  {tot / 1e6:9.1f} MB  {kind:14s} {n_ops:3d} operands  "
+              f"{name:34s} -> {out_sh}")
+
+    by_kind = defaultdict(lambda: [0, 0])
+    for tot, _, kind, _, _ in fusions:
+        by_kind[kind][0] += 1
+        by_kind[kind][1] += tot
+    print("\nby kind:")
+    for kind, (cnt, tot) in sorted(by_kind.items(),
+                                   key=lambda kv: -kv[1][1]):
+        print(f"  {kind:16s} {cnt:4d} fusions  {tot / 1e9:7.2f} GB")
+
+
+if __name__ == "__main__":
+    main()
