@@ -27,6 +27,8 @@ def main() -> None:
                    help="compile for CPU instead of the TPU backend "
                         "(structure differs; TPU is the real target)")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--variant", default="unfused",
+                   help="a scripts/bench_variants.py variant name")
     args = p.parse_args()
 
     import jax
@@ -37,11 +39,13 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from simclr_tpu.config import Config, TrainConfig
+    from simclr_tpu.config import Config, ModelConfig, TrainConfig
     from simclr_tpu.train.pretrain import build_engine, init_simclr
 
+    from bench_variants import VARIANTS
     cfg = Config(train=TrainConfig(batch_size=args.batch_size,
-                                   save_ckpt=False))
+                                   save_ckpt=False),
+                 model=ModelConfig(**VARIANTS[args.variant]))
     model, state, tx = init_simclr(cfg, jax.random.key(0))
     engine = build_engine(cfg, model, tx)
 

@@ -40,9 +40,12 @@ VARIANTS = {
     "f32_bn_apply": ({"bn_dtype": "float32"}, {}),
     "two_pass_views": ({}, {"two_pass_views": True}),
     # Reference-parity 64-sample statistics (the torch reference computes
-    # BN stats from 64-image micro-batches, utils/model_utils.py:109-114);
-    # benches ~5% faster than the 1/4-subset default on v5e.
+    # BN stats from 64-image micro-batches, utils/model_utils.py:109-114).
+    # The round-3 discriminative run measured this BEST on lin-eval and
+    # ~5% faster, so it IS the default now; kept as an explicit pin.
     "stats64": ({"bn_stats_fraction": 0.0625}, {}),
+    # The round-1/2 default, retained for comparison runs.
+    "stats25": ({"bn_stats_fraction": 0.25}, {}),
 }
 
 

@@ -112,10 +112,17 @@ class ModelConfig:
     # on v5e vs float32 application).
     bn_dtype: str = "bfloat16"
     # Fraction of the batch used for BN batch statistics (models/norm.py).
-    # Profiling showed stat reductions were ~50% of the step; 0.25 of a
-    # 1024-image two-view batch is still 4x the reference's 64-sample
-    # statistics. 1.0 = exact full-batch stats.
-    bn_stats_fraction: float = 0.25
+    # Profiling showed stat reductions were ~50% of the step. Default
+    # 0.0625 == 64 samples of a 1024-image two-view batch — the
+    # reference's own statistics regime (utils/model_utils.py:109-114,
+    # batch_size_small=64): the round-3 discriminative parity run
+    # (results/parity/parity.md) measured it BEST on lin-eval (+0.41pp
+    # vs 1/4-subset) and ~5% faster. 1.0 = exact full-batch stats.
+    bn_stats_fraction: float = 0.0625
+    # Bandwidth-shaped custom VJP for the subset BN (ops/subset_bn.py):
+    # same forward numerics, backward restructured so the dgamma/dbeta
+    # reductions and most of dx share one pass over the activations.
+    bn_fused_vjp: bool = False
     # Run stride-1 identity bottlenecks as fused VMEM-resident Pallas
     # kernels (ops/pallas/bottleneck.py). None = auto: enabled on
     # single-chip TPU by init_simclr, off under meshes and on CPU.

@@ -40,6 +40,11 @@ class SubsetBatchNorm(nn.Module):
     stats_fraction: float = 0.25
     min_stats_samples: int = 64
     axis_name: Optional[str] = None
+    # Use the bandwidth-shaped custom VJP (ops/subset_bn.py): identical
+    # forward numerics, backward restructured so the dgamma/dbeta sums
+    # and 1-stats_fraction of dx share one data pass. Requires
+    # axis_name=None (the pjit path, where reductions are global anyway).
+    fused_vjp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +60,24 @@ class SubsetBatchNorm(nn.Module):
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.fused_vjp and self.axis_name is None:
+            from simclr_tpu.ops.subset_bn import subset_bn_apply
+            n = x.shape[0]
+            k = min(max(int(n * self.stats_fraction),
+                        self.min_stats_samples), n)
+            shift = jax.lax.stop_gradient(ra_mean.value)
+            y, mean, var = subset_bn_apply(
+                x, scale, bias, shift, k, self.epsilon, self.dtype)
+            if not self.is_initializing():
+                m = k
+                for s in x.shape[1:-1]:
+                    m *= s
+                unbiased = var * (m / max(m - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+            return y
         else:
             n = x.shape[0]
             k = min(max(int(n * self.stats_fraction),

@@ -272,6 +272,8 @@ class ResNetEncoder(nn.Module):
     # Axis name for cross-replica BN stat syncing under shard_map; None means
     # stats over whatever batch this trace sees (global batch under pjit).
     bn_axis_name: Optional[str] = None
+    # Bandwidth-shaped BN backward (ops/subset_bn.py custom VJP).
+    bn_fused_vjp: bool = False
     # Run stride-1 identity bottlenecks as fused Pallas kernels
     # (ops/pallas/bottleneck.py). Single-chip TPU only — under a mesh the
     # compiler must partition the convs. Checkpoint-compatible either way.
@@ -292,7 +294,8 @@ class ResNetEncoder(nn.Module):
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             stats_fraction=self.bn_stats_fraction,
-            axis_name=self.bn_axis_name, **kw)
+            axis_name=self.bn_axis_name,
+            fused_vjp=self.bn_fused_vjp, **kw)
 
         x = x.astype(self.dtype)
         if self.low_quality_img:
@@ -355,6 +358,7 @@ class SupervisedResNet(nn.Module):
     bn_dtype: Any = jnp.bfloat16
     bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
+    bn_fused_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -363,5 +367,6 @@ class SupervisedResNet(nn.Module):
                           dtype=self.dtype, bn_dtype=self.bn_dtype,
                           bn_stats_fraction=self.bn_stats_fraction,
                           bn_axis_name=self.bn_axis_name,
+                          bn_fused_vjp=self.bn_fused_vjp,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

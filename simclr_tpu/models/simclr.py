@@ -41,6 +41,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         bn_dtype=jnp.dtype(cfg.bn_dtype),
         bn_stats_fraction=cfg.bn_stats_fraction,
         bn_axis_name=bn_axis_name,
+        bn_fused_vjp=bool(cfg.bn_fused_vjp),
         fuse_identity_blocks=bool(cfg.fuse_identity_blocks),
         fuse_min_width=cfg.fuse_min_width,
         fused_interpret=cfg.fuse_interpret,
@@ -61,6 +62,7 @@ class ProjectionHead(nn.Module):
     bn_dtype: Any = jnp.bfloat16
     bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
+    bn_fused_vjp: bool = False
 
     @nn.compact
     def __call__(self, h, train: bool = True):
@@ -68,7 +70,8 @@ class ProjectionHead(nn.Module):
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             stats_fraction=self.bn_stats_fraction,
-            axis_name=self.bn_axis_name, **kw)
+            axis_name=self.bn_axis_name,
+            fused_vjp=self.bn_fused_vjp, **kw)
         x = h.astype(self.dtype)
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.feature_dim, dtype=self.dtype,
@@ -106,6 +109,7 @@ class SimCLR(nn.Module):
             bn_dtype=jnp.dtype(self.cfg.bn_dtype),
             bn_stats_fraction=self.cfg.bn_stats_fraction,
             bn_axis_name=self.bn_axis_name,
+            bn_fused_vjp=bool(self.cfg.bn_fused_vjp),
             name="g",
         )(h, train=train)
         return h, z
