@@ -27,6 +27,8 @@ VARIANTS = {
     # Reference-parity statistics size: the torch reference estimates BN
     # stats from 64-sample micro-batches (utils/model_utils.py:109-114).
     "stats64": {"bn_stats_fraction": 0.0625},
+    # The round-1/2 default subset fraction (superseded by stats64).
+    "stats25": {"bn_stats_fraction": 0.25},
     # Bandwidth-shaped BN backward (ops/subset_bn.py custom VJP).
     "bnvjp": {"bn_fused_vjp": True},
     "bnvjp_stats64": {"bn_fused_vjp": True, "bn_stats_fraction": 0.0625},

@@ -47,9 +47,15 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
         def family(name: str) -> str:
             """Aggregate HLO instruction names into op families:
             '%convert_reduce_fusion.123 = bf16[...] fusion(...)' ->
-            'convert_reduce_fusion bf16[1024,32,32,256]'."""
+            'convert_reduce_fusion bf16[1024,32,32,256]'. Only the
+            instruction-name head is inspected — matching substrings of
+            the full HLO text also hits operand names and mislabels
+            compute ops as copies."""
             head = name.split(" = ", 1)
             op = _re.sub(r"\.\d+$", "", head[0].lstrip("%"))
+            if op in ("copy-start", "copy-done", "slice-start",
+                      "slice-done", "copy"):
+                return "async copies (overlapped)"
             shape = ""
             if len(head) > 1:
                 m = _re.match(r"\(?\s*([a-z0-9]+\[[^\]]*\])", head[1])
@@ -68,8 +74,6 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 if name.lstrip("%").startswith(("while", "body", "cond")):
                     continue  # control wrappers double-count their bodies
-                if "copy-start" in name or "copy-done" in name:
-                    name = "async copies (overlapped)"
                 totals[family(name)] += ev.duration_ps
                 count[family(name)] += 1
         if not totals:

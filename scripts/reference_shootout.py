@@ -237,8 +237,10 @@ def main():
         args.n_train, args.n_val, args.n_test)
 
     if args.skip_reference:
-        prev = json.loads((out / "shootout.json").read_text())
-        ref, init_sd = prev["reference"], None
+        # Reference half persisted by a previous run (ref.json is written
+        # the moment run_reference returns, so a crash on our side never
+        # costs the ~1 h torch-CPU training).
+        ref = json.loads((out / "ref.json").read_text())
         import numpy as np
         init_sd = {k: np.load(out / "init_sd.npz")[k]
                    for k in np.load(out / "init_sd.npz").files}
@@ -249,6 +251,7 @@ def main():
             out.resolve(), args.lbfgs_steps)
         import numpy as np
         np.savez(out / "init_sd.npz", **init_sd)
+        (out / "ref.json").write_text(json.dumps(ref, indent=2))
 
     print("=== this framework (reference-parity mode) ===")
     ours = run_ours(init_sd, train_arr, val_arr, test_arr,
