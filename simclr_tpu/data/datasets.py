@@ -142,6 +142,7 @@ def synthetic_dataset(
     seed: int = 0,
     difficulty: str = "hard",
     intra_scale: float = 1.5,
+    cache_dir: Optional[str] = None,
 ) -> Arrays:
     """Deterministic class-structured images.
 
@@ -164,7 +165,42 @@ def synthetic_dataset(
 
     The basis/class structure comes from a FIXED RandomState so train and
     test splits (different ``seed``) share the same classes.
+
+    ``cache_dir``: if given, the generated arrays are memoized on disk —
+    rendering 50k images takes ~5 min of float64 numpy on this image's
+    single host core, an unacceptable fixed tax on every CLI/bench
+    invocation. The cache key pins every generation parameter, so the
+    arrays stay bit-identical to an uncached run.
     """
+    cache = None
+    if cache_dir is not None:
+        cache = os.path.join(
+            cache_dir,
+            f"synth_v1_n{n}_s{img_size}_c{n_classes}_seed{seed}"
+            f"_{difficulty}_is{intra_scale:g}.npz")
+        if os.path.isfile(cache):
+            with np.load(cache) as z:
+                return z["x"], z["y"]
+
+    out = _synthetic_dataset_uncached(
+        n, img_size, n_classes, seed, difficulty, intra_scale)
+    if cache is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        # np.savez appends '.npz' unless the name already ends with it.
+        tmp = cache + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, x=out[0], y=out[1])
+        os.replace(tmp, cache)  # atomic: concurrent processes race safely
+    return out
+
+
+def _synthetic_dataset_uncached(
+    n: int,
+    img_size: int,
+    n_classes: int,
+    seed: int,
+    difficulty: str,
+    intra_scale: float,
+) -> Arrays:
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, n_classes, size=n).astype(np.int32)
     yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
@@ -268,4 +304,5 @@ def load_dataset(
     # which would make the "deterministic" fallback differ between the
     # pretrain and eval processes).
     seed = zlib.crc32(f"{name}/{split}".encode())
-    return synthetic_dataset(n, img_size=img_size, seed=seed)
+    return synthetic_dataset(n, img_size=img_size, seed=seed,
+                             cache_dir=os.path.join(data_dir, "synth_cache"))
