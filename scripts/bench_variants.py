@@ -30,8 +30,17 @@ VARIANTS = {
     # The round-1/2 default subset fraction (superseded by stats64).
     "stats25": {"bn_stats_fraction": 0.25},
     # Bandwidth-shaped BN backward (ops/subset_bn.py custom VJP).
+    # Measured 6.99 vs 8.77 unfused on v5e: the concatenate-based dx
+    # broke fusion — superseded by the bn_relu Pallas kernel below.
     "bnvjp": {"bn_fused_vjp": True},
     "bnvjp_stats64": {"bn_fused_vjp": True, "bn_stats_fraction": 0.0625},
+    # Single-pass fused BN(+add)+ReLU backward (ops/pallas/bn_relu.py).
+    # 'pallas' = layout-native 2D views; 'xla' = same restructure as
+    # plain ops. The first (C-minor reshape) kernel benched 4.81 — the
+    # layout transposes around every call cost more than the pass saved.
+    "bnrelu": {"bn_relu_fused": True, "bn_relu_impl": "pallas"},
+    "bnrelu_xla": {"bn_relu_fused": True, "bn_relu_impl": "xla"},
+    "bnrelu_off": {"bn_relu_fused": False},
 }
 
 

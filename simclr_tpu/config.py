@@ -139,6 +139,15 @@ class ModelConfig:
     # gradient into a weight-shaped reduction. None = auto (resolved by
     # init_simclr from measurement).
     fold_bn_scales: "bool | None" = None
+    # Fuse BN(+residual)+ReLU backward into one Pallas pass
+    # (ops/pallas/bn_relu.py): the dgamma/dbeta reductions, the ReLU
+    # mask, the dx elementwise and the skip cotangent all share a single
+    # read of the layer-sized activations. None = auto (resolved by
+    # init_simclr from measurement).
+    bn_relu_fused: "bool | None" = None
+    # 'pallas' (layout-native one-pass kernel) or 'xla' (same
+    # restructured math as plain ops; relies on XLA sibling fusion).
+    bn_relu_impl: str = "pallas"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,6 +125,99 @@ class SubsetBatchNorm(nn.Module):
         return y
 
 
+class SubsetBNAct(nn.Module):
+    """Subset-statistics BN fused with its surrounding activation ops —
+    ``mode``: 'relu' (bn1/bn2 positions), 'add_relu' (bn3 + residual),
+    'none' (downsample BN). Parameter names ('scale'/'bias') and the
+    batch_stats collection ('mean'/'var') are identical to
+    SubsetBatchNorm, so every block configuration interchanges
+    checkpoints.
+
+    Train-mode forward numerics are bit-identical to SubsetBatchNorm
+    followed by the add/relu; the difference is the BACKWARD: on
+    supported shapes (ops/pallas/bn_relu.supports) the whole
+    relu-mask + dgamma/dbeta + dx (+dskip) backward runs as ONE Pallas
+    pass over the activations instead of autodiff's three (the step is
+    HBM-bound — see the bn_relu module docstring for the measured
+    motivation). Unsupported shapes (C not a lane multiple, tiny init
+    traces, CPU without interpret) fall back to plain XLA autodiff of
+    the same math.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    stats_fraction: float = 0.25
+    min_stats_samples: int = 64
+    mode: str = "relu"          # 'relu' | 'add_relu' | 'none'
+    fused: bool = True          # False = always the XLA fallback
+    interpret: bool = False     # interpret-mode Pallas (CPU tests)
+    # 'pallas': the one-pass kernel over layout-native 2D views;
+    # 'xla': the same restructured backward as plain XLA ops (no layout
+    # constraints, relies on XLA fusion for the single-pass property).
+    impl: str = "pallas"
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        from simclr_tpu.ops.pallas import bn_relu as _k
+
+        assert (skip is not None) == (self.mode == "add_relu")
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feats,), jnp.float32))
+        dt = self.dtype
+
+        if self.use_running_average:
+            y = _k._bn_apply(x, scale, bias, ra_mean.value, ra_var.value,
+                             self.epsilon, dt)
+            if self.mode == "add_relu":
+                y = jnp.maximum(y + skip.astype(y.dtype), 0)
+            elif self.mode == "relu":
+                y = jnp.maximum(y, 0)
+            return y
+
+        n = x.shape[0]
+        k = min(max(int(n * self.stats_fraction),
+                    self.min_stats_samples), n)
+        shift = jax.lax.stop_gradient(ra_mean.value)
+        use_kernel = (self.fused and not self.is_initializing()
+                      and (self.impl == "xla"
+                           or _k.supports(x.shape, k, dt)))
+        if use_kernel:
+            op = {"relu": _k.subset_bn_relu,
+                  "add_relu": _k.subset_bn_add_relu,
+                  "none": _k.subset_bn_only}[self.mode]
+            args = (x,) if skip is None else (x, skip)
+            y, mean, var = op(*args, scale, bias, shift, k,
+                              self.epsilon, dt, self.interpret,
+                              self.impl)
+        else:
+            mean, var = _k._bn_stats(x, shift, k, self.epsilon)
+            y = _k._bn_apply(x, scale, bias, mean, var, self.epsilon, dt)
+            if self.mode == "add_relu":
+                y = jnp.maximum(y + skip.astype(y.dtype), 0)
+            elif self.mode == "relu":
+                y = jnp.maximum(y, 0)
+
+        if not self.is_initializing():
+            m = k
+            for s in x.shape[1:-1]:
+                m *= s
+            unbiased = var * (m / max(m - 1, 1))
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * unbiased)
+        return y
+
+
 class FoldedBatchNorm(nn.Module):
     """BatchNorm that returns folded per-channel affines (A, B) instead of
     a normalized tensor: normalize(y) == y * A + B with

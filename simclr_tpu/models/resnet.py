@@ -84,6 +84,9 @@ class Bottleneck(nn.Module):
     fused_interpret: bool = False
     stats_fraction: float = 0.25
     min_stats_samples: int = 64
+    # Factory for the fused BN(+add)+ReLU module (models/norm.SubsetBNAct,
+    # single-pass Pallas backward). None = plain norm + relu autodiff.
+    bnact: Optional[Callable[..., Any]] = None
 
     expansion: int = 4
 
@@ -99,27 +102,40 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
                     name="conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        if self.bnact is not None:
+            y = self.bnact(mode="relu", name="bn1")(y)
+        else:
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
                     name="conv2")(y)
-        y = self.norm(name="bn2")(y)
-        y = nn.relu(y)
+        if self.bnact is not None:
+            y = self.bnact(mode="relu", name="bn2")(y)
+        else:
+            y = self.norm(name="bn2")(y)
+            y = nn.relu(y)
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
                     name="conv3")(y)
-        y = self.norm(name="bn3")(y)
 
-        if residual.shape != y.shape:
+        if residual.shape[-1] != self.features * self.expansion \
+                or self.stride != 1:
             residual = nn.Conv(
                 self.features * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
                 kernel_init=conv_kernel_init, dtype=self.dtype,
                 name="downsample_conv")(residual)
-            residual = self.norm(name="downsample_bn")(residual)
+            if self.bnact is not None:
+                residual = self.bnact(mode="none",
+                                      name="downsample_bn")(residual)
+            else:
+                residual = self.norm(name="downsample_bn")(residual)
 
+        if self.bnact is not None:
+            return self.bnact(mode="add_relu", name="bn3")(y, residual)
+        y = self.norm(name="bn3")(y)
         return nn.relu(y + residual)
 
     def _fused_block(self, x):
@@ -284,6 +300,11 @@ class ResNetEncoder(nn.Module):
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
     # Weight-folded identity blocks (XLA-only; see Bottleneck._folded_block).
     fold_bn_scales: bool = False
+    # Fused BN(+add)+ReLU with the single-pass Pallas backward
+    # (models/norm.SubsetBNAct). Single-chip path: requires
+    # bn_axis_name=None.
+    bn_relu_fused: bool = False
+    bn_relu_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -319,6 +340,17 @@ class ResNetEncoder(nn.Module):
         fold = lambda **kw: FoldedBatchNorm(
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5, **kw)
+        bnact = None
+        if self.bn_relu_fused and self.bn_axis_name is None \
+                and not self.fuse_identity_blocks \
+                and not self.fold_bn_scales:
+            from simclr_tpu.models.norm import SubsetBNAct
+            bnact = lambda **kw: SubsetBNAct(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.bn_dtype,
+                stats_fraction=self.bn_stats_fraction,
+                interpret=self.fused_interpret,
+                impl=self.bn_relu_impl, **kw)
         for stage, n_blocks in enumerate(self.stage_sizes):
             for block in range(n_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
@@ -332,6 +364,7 @@ class ResNetEncoder(nn.Module):
                                fold_norm=fold,
                                fused_interpret=self.fused_interpret,
                                stats_fraction=self.bn_stats_fraction,
+                               bnact=bnact,
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

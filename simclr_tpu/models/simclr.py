@@ -46,6 +46,8 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         fuse_min_width=cfg.fuse_min_width,
         fused_interpret=cfg.fuse_interpret,
         fold_bn_scales=bool(cfg.fold_bn_scales),
+        bn_relu_fused=bool(cfg.bn_relu_fused),
+        bn_relu_impl=cfg.bn_relu_impl,
         name=name,
     )
 

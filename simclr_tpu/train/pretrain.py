@@ -114,6 +114,14 @@ def init_simclr(cfg: Config, key: jax.Array,
             model_cfg, fuse_identity_blocks=False)
     if model_cfg.fold_bn_scales is None:
         model_cfg = dataclasses.replace(model_cfg, fold_bn_scales=False)
+    if model_cfg.bn_relu_fused is None:
+        # Auto: off until a measured win — the first (reshape-based)
+        # Pallas backward benched 4.81 vs 8.77 steps/s because the
+        # C-minor 2D views forced physical transposes of every
+        # {3,0,2,1}-laid-out activation around the kernel. The
+        # layout-native variants are benchable via bench_variants
+        # bnrelu/bnrelu_xla.
+        model_cfg = dataclasses.replace(model_cfg, bn_relu_fused=False)
     model = SimCLR(cfg=model_cfg)
     fake = jnp.zeros(
         (2, cfg.dataset.img_size, cfg.dataset.img_size, 3), jnp.float32)
