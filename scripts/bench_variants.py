@@ -40,7 +40,14 @@ VARIANTS = {
     # layout transposes around every call cost more than the pass saved.
     "bnrelu": {"bn_relu_fused": True, "bn_relu_impl": "pallas"},
     "bnrelu_xla": {"bn_relu_fused": True, "bn_relu_impl": "xla"},
+    # Patch-free dx: the k-sample correction rides the full-row
+    # elementwise pass behind an iota mask (no DUS/concat patch pass).
+    "bnrelu_mask": {"bn_relu_fused": True, "bn_relu_impl": "xla_mask"},
     "bnrelu_off": {"bn_relu_fused": False},
+    # Straight-through subset BN backward (models/norm.py grad_mode):
+    # stats stop-gradiented, dscale/dbias from the k-sample estimator —
+    # pure autodiff, reductions shrink to k-row slices.
+    "stgrad": {"bn_grad_mode": "subset_st"},
 }
 
 

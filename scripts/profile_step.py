@@ -106,6 +106,8 @@ def main() -> None:
     p.add_argument("--logdir", default="/tmp/simclr_profile")
     p.add_argument("--parse_only", action="store_true",
                    help="just re-parse an existing trace")
+    p.add_argument("--variant", default="unfused",
+                   help="a scripts/bench_variants.py variant name")
     args = p.parse_args()
 
     if args.parse_only:
@@ -115,15 +117,18 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from simclr_tpu.config import Config, TrainConfig
+    from simclr_tpu.config import Config, ModelConfig, TrainConfig
     from simclr_tpu.data.datasets import load_dataset
     from simclr_tpu.data.pipeline import epoch_permutation
     from simclr_tpu.train.pretrain import build_engine, init_simclr
 
+    from bench_variants import VARIANTS
+
     images_np, _ = load_dataset("cifar10", "train", "data")
     images = jax.device_put(images_np)
 
-    cfg = Config(train=TrainConfig(batch_size=args.batch, save_ckpt=False))
+    cfg = Config(train=TrainConfig(batch_size=args.batch, save_ckpt=False),
+                 model=ModelConfig(**VARIANTS[args.variant]))
     model, state, tx = init_simclr(cfg, jax.random.key(0))
     engine = build_engine(cfg, model, tx)
     n = images.shape[0]

@@ -123,6 +123,14 @@ class ModelConfig:
     # same forward numerics, backward restructured so the dgamma/dbeta
     # reductions and most of dx share one pass over the activations.
     bn_fused_vjp: bool = False
+    # BN backward semantics (models/norm.py SubsetBatchNorm.grad_mode):
+    # 'exact' = true autodiff of the subset-statistics forward;
+    # 'subset_st' = statistics stop-gradiented + scale/bias gradients
+    # from the unbiased straight-through subset estimator — the
+    # dgamma/dbeta reductions then read k-row slices instead of the full
+    # layer activations (pure-autodiff formulation, keeps every XLA
+    # cross-op fusion; see the field docstring in models/norm.py).
+    bn_grad_mode: str = "exact"
     # Run stride-1 identity bottlenecks as fused VMEM-resident Pallas
     # kernels (ops/pallas/bottleneck.py). None = auto: enabled on
     # single-chip TPU by init_simclr, off under meshes and on CPU.

@@ -45,6 +45,26 @@ class SubsetBatchNorm(nn.Module):
     # and 1-stats_fraction of dx share one data pass. Requires
     # axis_name=None (the pjit path, where reductions are global anyway).
     fused_vjp: bool = False
+    # Backward-pass semantics (forward numerics identical either way):
+    #  'exact'     — true autodiff of the subset-statistics forward: the
+    #                scale/bias gradients are full-tensor reductions and
+    #                the k statistics rows of dx carry the mean/var
+    #                coupling terms. On an HBM-bound step those
+    #                reductions re-read every layer-sized activation
+    #                (~35 ms of a 114 ms ResNet-50/batch-1024 step) and
+    #                every custom-VJP restructure of them measured SLOWER
+    #                (six attempts, ARCHITECTURE.md §5: custom_vjp
+    #                boundaries forfeit XLA's cross-op fusion).
+    #  'subset_st' — statistics are constants in the backward
+    #                (stop_gradient; drops the O(1/sqrt(m)) coupling
+    #                terms on the k stats rows only — every other row's
+    #                dx is bit-identical) and the scale/bias gradients
+    #                come from an unbiased straight-through surrogate on
+    #                the statistics subset: dscale = (n/k)*sum_k(gy*xhat),
+    #                dbias = (n/k)*sum_k(gy). Stays INSIDE autodiff, so
+    #                dx = gy*a fuses into the conv backward chain and the
+    #                reductions read k-row slices instead of full tensors.
+    grad_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x):
@@ -118,10 +138,36 @@ class SubsetBatchNorm(nn.Module):
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1.0 - self.momentum) * unbiased)
 
-        y = (x.astype(self.dtype)
-             - mean.astype(self.dtype)) * (
-            jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
-            * scale.astype(self.dtype)) + bias.astype(self.dtype)
+        dt = self.dtype
+        mean_dt = mean.astype(dt)
+        rsig_dt = jax.lax.rsqrt(var + self.epsilon).astype(dt)
+        scale_dt = scale.astype(dt)
+        bias_dt = bias.astype(dt)
+        if self.grad_mode == "subset_st" and not self.use_running_average:
+            sg = jax.lax.stop_gradient
+            # Value path: identical numbers, but statistics AND affine
+            # params are gradient-constants here...
+            y = (x.astype(dt) - sg(mean_dt)) * sg(rsig_dt * scale_dt) \
+                + sg(bias_dt)
+            if not self.is_initializing():
+                # ...and the affine gradients ride a straight-through
+                # surrogate over the k statistics samples: numerically
+                # exactly zero (p - sg(p) == 0), gradient-wise the
+                # unbiased (n/k)-scaled subset estimator. The pad is a
+                # lazy fusion operand — the k-slice is the only extra
+                # HBM read, and the backward reductions touch only the
+                # k-row slices of the cotangent.
+                n = x.shape[0]
+                kk = min(max(int(n * self.stats_fraction),
+                             self.min_stats_samples), n)
+                est = jnp.asarray(n / kk, dt)
+                xhat_k = (x[:kk].astype(dt) - sg(mean_dt)) * sg(rsig_dt)
+                sur = (xhat_k * (scale_dt - sg(scale_dt))
+                       + (bias_dt - sg(bias_dt))) * est
+                pad = [(0, n - kk)] + [(0, 0)] * (x.ndim - 1)
+                y = y + jnp.pad(sur, pad)
+            return y
+        y = (x.astype(dt) - mean_dt) * (rsig_dt * scale_dt) + bias_dt
         return y
 
 
@@ -188,7 +234,7 @@ class SubsetBNAct(nn.Module):
                     self.min_stats_samples), n)
         shift = jax.lax.stop_gradient(ra_mean.value)
         use_kernel = (self.fused and not self.is_initializing()
-                      and (self.impl == "xla"
+                      and (self.impl in ("xla", "xla_mask")
                            or _k.supports(x.shape, k, dt)))
         if use_kernel:
             op = {"relu": _k.subset_bn_relu,

@@ -290,6 +290,8 @@ class ResNetEncoder(nn.Module):
     bn_axis_name: Optional[str] = None
     # Bandwidth-shaped BN backward (ops/subset_bn.py custom VJP).
     bn_fused_vjp: bool = False
+    # BN backward semantics: 'exact' | 'subset_st' (models/norm.py).
+    bn_grad_mode: str = "exact"
     # Run stride-1 identity bottlenecks as fused Pallas kernels
     # (ops/pallas/bottleneck.py). Single-chip TPU only — under a mesh the
     # compiler must partition the convs. Checkpoint-compatible either way.
@@ -316,7 +318,8 @@ class ResNetEncoder(nn.Module):
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name,
-            fused_vjp=self.bn_fused_vjp, **kw)
+            fused_vjp=self.bn_fused_vjp,
+            grad_mode=self.bn_grad_mode, **kw)
 
         x = x.astype(self.dtype)
         if self.low_quality_img:
@@ -392,6 +395,7 @@ class SupervisedResNet(nn.Module):
     bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
     bn_fused_vjp: bool = False
+    bn_grad_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -401,5 +405,6 @@ class SupervisedResNet(nn.Module):
                           bn_stats_fraction=self.bn_stats_fraction,
                           bn_axis_name=self.bn_axis_name,
                           bn_fused_vjp=self.bn_fused_vjp,
+                          bn_grad_mode=self.bn_grad_mode,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

@@ -42,6 +42,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         bn_stats_fraction=cfg.bn_stats_fraction,
         bn_axis_name=bn_axis_name,
         bn_fused_vjp=bool(cfg.bn_fused_vjp),
+        bn_grad_mode=cfg.bn_grad_mode,
         fuse_identity_blocks=bool(cfg.fuse_identity_blocks),
         fuse_min_width=cfg.fuse_min_width,
         fused_interpret=cfg.fuse_interpret,
@@ -65,6 +66,7 @@ class ProjectionHead(nn.Module):
     bn_stats_fraction: float = 0.25
     bn_axis_name: Optional[str] = None
     bn_fused_vjp: bool = False
+    bn_grad_mode: str = "exact"
 
     @nn.compact
     def __call__(self, h, train: bool = True):
@@ -73,7 +75,8 @@ class ProjectionHead(nn.Module):
             momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
             stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name,
-            fused_vjp=self.bn_fused_vjp, **kw)
+            fused_vjp=self.bn_fused_vjp,
+            grad_mode=self.bn_grad_mode, **kw)
         x = h.astype(self.dtype)
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.feature_dim, dtype=self.dtype,
@@ -112,6 +115,7 @@ class SimCLR(nn.Module):
             bn_stats_fraction=self.cfg.bn_stats_fraction,
             bn_axis_name=self.bn_axis_name,
             bn_fused_vjp=bool(self.cfg.bn_fused_vjp),
+            bn_grad_mode=self.cfg.bn_grad_mode,
             name="g",
         )(h, train=train)
         return h, z

@@ -225,7 +225,9 @@ def _head_correction(x_head, gy_head_a, s1, s2, gmean, gvar, scale, mean,
                      rsig, m, dt):
     """Statistics-subset rows' extra dx terms (same closed form as
     ops/subset_bn.py:_subset_bn_bwd), returned as the full head-row dx:
-    gy*a (precomputed by the kernel, passed in) + correction."""
+    gy*a (RECOMPUTED from the k-row input slices by the caller — reading
+    it back out of the kernel's dx would block XLA's in-place
+    dynamic-update-slice and force a full-tensor copy) + correction."""
     a32 = scale * rsig
     inv_m = jnp.float32(1.0 / m)
     c1 = (-inv_m) * (a32 * s2)
@@ -251,6 +253,24 @@ def _elems_per_channel(shape, k):
 # induce transpose copies; whether XLA merges the reduces into the
 # elementwise pass is up to its sibling-fusion heuristics).
 # ---------------------------------------------------------------------------
+
+def _row_mask(shape, k):
+    """Boolean (N,1,..,1) mask of the statistics-subset samples — lazily
+    materialized inside the consuming fusion (iota + compare), so masking
+    with it costs no HBM traffic."""
+    n = shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (len(shape) - 1),
+                                    0)
+    return rows < k
+
+
+def _pad_head(x_head, shape):
+    """Zero-pad the saved k-sample slice back to the full batch. As a
+    fusion operand the pad is evaluated lazily: the consuming pass reads
+    only the k-slice bytes, never a materialized full-size copy."""
+    pad = [(0, shape[0] - x_head.shape[0])] + [(0, 0)] * (x_head.ndim - 1)
+    return jnp.pad(x_head, pad)
+
 
 def _xla_bwd_relu(g, out, a32):
     red = tuple(range(g.ndim - 1))
@@ -316,7 +336,15 @@ def _bn_relu_bwd(k, eps, apply_dtype, interpret, impl, res, cots):
     c = out.shape[-1]
     a32 = scale * rsig
 
-    if impl == "xla":
+    if impl == "xla_mask":
+        # Single-expression dx: the k-sample correction is folded into the
+        # full-row elementwise pass via a lazily-evaluated iota mask and a
+        # lazily-read zero-pad of the saved x[:k] slice — NO patch pass
+        # (dynamic-update-slice / concatenate materializes an extra full
+        # read+write of dx per BN otherwise; at 53 BNs that is ~13 GB of
+        # the HBM-bound step).
+        _, s1, s2p = _xla_bwd_relu(g, out, a32)
+    elif impl == "xla":
         dx, s1, s2p = _xla_bwd_relu(g, out, a32)
     else:
         dx, s1, s2p = _run_bwd(_bwd_kernel_relu, (g, out), (a32,), 1,
@@ -329,10 +357,23 @@ def _bn_relu_bwd(k, eps, apply_dtype, interpret, impl, res, cots):
     s2 = jnp.where(jnp.abs(scale) < 1e-6, 0.0,
                    (s2p.reshape(c) - bias * s1) / safe)
 
-    dx = dx.astype(x_head.dtype)
     m = _elems_per_channel(out.shape, k)
-    dt = dx.dtype
-    head = _head_correction(x_head, dx[:k], s1, s2, gmean, gvar, scale,
+    dt = x_head.dtype
+
+    if impl == "xla_mask":
+        zero = jnp.zeros((), dt)
+        corr = _head_correction(_pad_head(x_head, out.shape), zero, s1, s2,
+                                gmean, gvar, scale, mean, rsig, m, dt)
+        gy = jnp.where(out.astype(jnp.float32) > 0.0, g, jnp.zeros_like(g))
+        dx = (gy * a32.astype(g.dtype)).astype(dt) \
+            + jnp.where(_row_mask(out.shape, k), corr, zero)
+        return dx, s2, s1, None
+
+    dx = dx.astype(dt)
+    a_dt = (scale * rsig).astype(dt)
+    gy_head_a = jnp.where(out[:k].astype(jnp.float32) > 0.0,
+                          g[:k].astype(dt), 0).astype(dt) * a_dt
+    head = _head_correction(x_head, gy_head_a, s1, s2, gmean, gvar, scale,
                             mean, rsig, m, dt)
     dx = jax.lax.dynamic_update_slice_in_dim(dx, head.astype(dt), 0, 0)
     return dx, s2, s1, None
@@ -374,21 +415,41 @@ def _bn_add_relu_bwd(k, eps, apply_dtype, interpret, impl, res, cots):
     c = out.shape[-1]
     a32 = scale * rsig
 
-    if impl == "xla":
+    if impl == "xla_mask":
+        _, _, s1, s2 = _xla_bwd_add_relu(
+            g, out, x.astype(g.dtype), a32, mean, rsig)
+    elif impl == "xla":
         dx, dskip, s1, s2 = _xla_bwd_add_relu(
             g, out, x.astype(g.dtype), a32, mean, rsig)
     else:
         dx, dskip, s1, s2 = _run_bwd(
             _bwd_kernel_add_relu, (g, out, x.astype(g.dtype)),
             (a32, mean, rsig), 2, interpret)
+
+    m = _elems_per_channel(out.shape, k)
+    dt = x.dtype
+
+    if impl == "xla_mask":
+        # x is saved in full here (see _bn_add_relu_fwd), so the k-sample
+        # correction needs no pad — one elementwise expression, no patch.
+        s1 = s1.reshape(c)
+        s2 = s2.reshape(c)
+        zero = jnp.zeros((), dt)
+        corr = _head_correction(x, zero, s1, s2, gmean, gvar, scale,
+                                mean, rsig, m, dt)
+        gy = jnp.where(out.astype(jnp.float32) > 0.0, g, jnp.zeros_like(g))
+        dx = (gy * a32.astype(g.dtype)).astype(dt) \
+            + jnp.where(_row_mask(out.shape, k), corr, zero)
+        return dx, gy.astype(skip_dt.dtype), s2, s1, None
+
     s1 = s1.reshape(c)
     s2 = s2.reshape(c)
-
-    dx = dx.astype(x.dtype)
+    dx = dx.astype(dt)
     dskip = dskip.astype(skip_dt.dtype)
-    m = _elems_per_channel(out.shape, k)
-    dt = dx.dtype
-    head = _head_correction(x[:k], dx[:k], s1, s2, gmean, gvar, scale,
+    a_dt = (scale * rsig).astype(dt)
+    gy_head_a = jnp.where(out[:k].astype(jnp.float32) > 0.0,
+                          g[:k].astype(dt), 0).astype(dt) * a_dt
+    head = _head_correction(x[:k], gy_head_a, s1, s2, gmean, gvar, scale,
                             mean, rsig, m, dt)
     dx = jax.lax.dynamic_update_slice_in_dim(dx, head.astype(dt), 0, 0)
     return dx, dskip, s2, s1, None
@@ -427,7 +488,9 @@ def _bn_only_bwd(k, eps, apply_dtype, interpret, impl, res, cots):
     c = x.shape[-1]
     a32 = scale * rsig
 
-    if impl == "xla":
+    if impl == "xla_mask":
+        _, s1, s2 = _xla_bwd_norelu(g, x.astype(g.dtype), a32, mean, rsig)
+    elif impl == "xla":
         dx, s1, s2 = _xla_bwd_norelu(g, x.astype(g.dtype), a32, mean,
                                      rsig)
     else:
@@ -436,10 +499,20 @@ def _bn_only_bwd(k, eps, apply_dtype, interpret, impl, res, cots):
     s1 = s1.reshape(c)
     s2 = s2.reshape(c)
 
-    dx = dx.astype(x.dtype)
     m = _elems_per_channel(x.shape, k)
-    dt = dx.dtype
-    head = _head_correction(x[:k], dx[:k], s1, s2, gmean, gvar, scale,
+    dt = x.dtype
+
+    if impl == "xla_mask":
+        zero = jnp.zeros((), dt)
+        corr = _head_correction(x, zero, s1, s2, gmean, gvar, scale,
+                                mean, rsig, m, dt)
+        dx = (g * a32.astype(g.dtype)).astype(dt) \
+            + jnp.where(_row_mask(x.shape, k), corr, zero)
+        return dx, s2, s1, None
+
+    dx = dx.astype(dt)
+    gy_head_a = g[:k].astype(dt) * (scale * rsig).astype(dt)
+    head = _head_correction(x[:k], gy_head_a, s1, s2, gmean, gvar, scale,
                             mean, rsig, m, dt)
     dx = jax.lax.dynamic_update_slice_in_dim(dx, head.astype(dt), 0, 0)
     return dx, s2, s1, None

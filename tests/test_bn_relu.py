@@ -44,8 +44,9 @@ def test_supports_gating():
     assert not supports((256, 128), 0, jnp.float32)        # k == 0
 
 
+@pytest.mark.parametrize("impl", ["pallas", "xla", "xla_mask"])
 @pytest.mark.parametrize("mode", ["relu", "add_relu", "none"])
-def test_op_grads_match_autodiff_f32(mode):
+def test_op_grads_match_autodiff_f32(mode, impl):
     i = _inputs()
 
     def loss3(o, m, v):
@@ -64,13 +65,13 @@ def test_op_grads_match_autodiff_f32(mode):
     def fused(x, skip, scale, bias):
         if mode == "relu":
             out = subset_bn_relu(x, scale, bias, i["shift"], K, EPS,
-                                 jnp.float32, True)
+                                 jnp.float32, True, impl)
         elif mode == "add_relu":
             out = subset_bn_add_relu(x, skip, scale, bias, i["shift"], K,
-                                     EPS, jnp.float32, True)
+                                     EPS, jnp.float32, True, impl)
         else:
             out = subset_bn_only(x, scale, bias, i["shift"], K, EPS,
-                                 jnp.float32, True)
+                                 jnp.float32, True, impl)
         return loss3(*out)
 
     args = (i["x"], i["skip"], i["scale"], i["bias"])

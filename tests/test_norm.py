@@ -177,3 +177,70 @@ def test_4d_nhwc_reduction_axes():
     np.testing.assert_allclose(
         np.asarray(us["batch_stats"]["mean"]), 0.1 * oracle_mean,
         rtol=1e-4, atol=1e-5)
+
+
+def test_subset_st_grad_mode():
+    """grad_mode='subset_st' (models/norm.py): forward bit-identical to
+    'exact'; dx is exactly gy*A for EVERY row (statistics are gradient
+    constants, so the k stats rows lose their O(1/sqrt(m)) coupling
+    terms); dscale/dbias equal the unbiased (n/k)-scaled subset
+    estimator."""
+    rng = np.random.default_rng(7)
+    n, k = 64, 16
+    shape = (n, 4, 4, 24)
+    x = jnp.asarray(rng.normal(1.0, 1.5, shape), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def make(mode):
+        return SubsetBatchNorm(use_running_average=False,
+                               dtype=jnp.float32,
+                               stats_fraction=k / n, min_stats_samples=k,
+                               grad_mode=mode)
+
+    vs = make("exact").init({"params": jax.random.key(0)}, x)
+    # Non-trivial affine so dscale/dbias paths are exercised.
+    vs = {"params": {"scale": jnp.asarray(rng.normal(1.0, 0.2, (24,)),
+                                          jnp.float32),
+                     "bias": jnp.asarray(rng.normal(0.0, 0.2, (24,)),
+                                         jnp.float32)},
+          "batch_stats": vs["batch_stats"]}
+
+    def run(mode):
+        bn = make(mode)
+
+        def loss(params, x):
+            y, _ = bn.apply({"params": params,
+                             "batch_stats": vs["batch_stats"]}, x,
+                            mutable=["batch_stats"])
+            return jnp.sum(y * gy), y
+
+        (val, y), grads = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True))(vs["params"], x)
+        return np.asarray(y), jax.tree.map(np.asarray, grads)
+
+    y_ex, (gp_ex, gx_ex) = run("exact")
+    y_st, (gp_st, gx_st) = run("subset_st")
+
+    # Forward values identical.
+    np.testing.assert_array_equal(y_ex, y_st)
+
+    # Analytic targets: A = scale * rsqrt(var+eps) from the k-row stats.
+    xs = np.asarray(x)[:k]
+    mean = xs.mean(axis=(0, 1, 2))
+    var = xs.var(axis=(0, 1, 2))
+    a = np.asarray(vs["params"]["scale"]) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(gx_st, np.asarray(gy) * a,
+                               rtol=1e-5, atol=1e-5)
+    # Non-stats rows agree with exact autodiff (they carry no coupling).
+    np.testing.assert_allclose(gx_st[k:], gx_ex[k:], rtol=1e-5, atol=1e-5)
+    assert not np.allclose(gx_st[:k], gx_ex[:k], atol=1e-6)  # heads differ
+
+    xhat = (xs - mean) / np.sqrt(var + 1e-5)
+    gk = np.asarray(gy)[:k]
+    est = n / k
+    np.testing.assert_allclose(gp_st["scale"],
+                               est * (gk * xhat).sum(axis=(0, 1, 2)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gp_st["bias"],
+                               est * gk.sum(axis=(0, 1, 2)),
+                               rtol=1e-4, atol=1e-4)
