@@ -46,6 +46,11 @@ VARIANTS = {
     "stats64": ({"bn_stats_fraction": 0.0625}, {}),
     # The round-1/2 default, retained for comparison runs.
     "stats25": ({"bn_stats_fraction": 0.25}, {}),
+    # Straight-through subset BN backward (models/norm.py grad_mode):
+    # forward identical to default; dx drops the O(1/sqrt(m)) statistics
+    # coupling on the k stats rows and dscale/dbias come from the
+    # unbiased k-sample estimator. +3.5% step time if accuracy holds.
+    "stgrad": ({"bn_grad_mode": "subset_st"}, {}),
 }
 
 

@@ -180,7 +180,7 @@ def run_ours(init_sd, train_arr, val_arr, test_arr, n_epoch, batch_size,
     cfg = base.replace(
         model=dataclasses.replace(
             base.model, compute_dtype="float32", bn_dtype="float32",
-            bn_stats_fraction=1.0),
+            bn_stats_fraction=1.0, bn_grad_mode="exact"),
         train=dataclasses.replace(
             base.train, n_epoch=n_epoch, batch_size=batch_size,
             accum_steps=1, save_ckpt=False,

@@ -125,12 +125,15 @@ class ModelConfig:
     bn_fused_vjp: bool = False
     # BN backward semantics (models/norm.py SubsetBatchNorm.grad_mode):
     # 'exact' = true autodiff of the subset-statistics forward;
-    # 'subset_st' = statistics stop-gradiented + scale/bias gradients
-    # from the unbiased straight-through subset estimator — the
-    # dgamma/dbeta reductions then read k-row slices instead of the full
-    # layer activations (pure-autodiff formulation, keeps every XLA
-    # cross-op fusion; see the field docstring in models/norm.py).
-    bn_grad_mode: str = "exact"
+    # 'subset_st' = variance stop-gradiented (mean stays differentiable,
+    # preserving sum(dx)==0 per channel) + scale/bias gradients from the
+    # unbiased straight-through k-sample estimator — the dgamma/dbeta
+    # reductions then read k-row slices instead of the full layer
+    # activations (pure-autodiff formulation, keeps every XLA cross-op
+    # fusion; see models/norm.py). Default since the round-3 parity run:
+    # 9.09 vs 8.75 steps/s with lin-eval 48.60 vs 48.18 mean
+    # (results/parity_stgrad — equal-or-better accuracy, +4% speed).
+    bn_grad_mode: str = "subset_st"
     # Run stride-1 identity bottlenecks as fused VMEM-resident Pallas
     # kernels (ops/pallas/bottleneck.py). None = auto: enabled on
     # single-chip TPU by init_simclr, off under meshes and on CPU.

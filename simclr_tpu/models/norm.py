@@ -145,9 +145,19 @@ class SubsetBatchNorm(nn.Module):
         bias_dt = bias.astype(dt)
         if self.grad_mode == "subset_st" and not self.use_running_average:
             sg = jax.lax.stop_gradient
-            # Value path: identical numbers, but statistics AND affine
-            # params are gradient-constants here...
-            y = (x.astype(dt) - sg(mean_dt)) * sg(rsig_dt * scale_dt) \
+            # Value path: identical numbers. The MEAN stays differentiable
+            # — autodiff routes -A*sum(gy)/m onto the k statistics rows,
+            # which is exactly the S1 head correction of the true subset-BN
+            # backward, and it keeps the per-channel common mode nulled:
+            # sum(dx) == 0, so upstream weights receive no gradient along
+            # the BN-invariant mean direction. (A first version also
+            # stop-gradiented the mean; the leaked common mode compounded
+            # through 53 BNs and collapsed training — lin-eval 16% vs 47%.)
+            # The VARIANCE path and the affine params are stopped: the
+            # dropped radial term only slows weight-norm growth, and
+            # scale/bias gradients ride the subset surrogate below. The
+            # S1 reduction reads gy once; no x re-read, no patch pass.
+            y = (x.astype(dt) - mean.astype(dt)) * sg(rsig_dt * scale_dt) \
                 + sg(bias_dt)
             if not self.is_initializing():
                 # ...and the affine gradients ride a straight-through

@@ -144,9 +144,11 @@ def test_full_model_grads_match():
         jnp.float32)
 
     def grads(fused):
+        # bn_grad_mode='exact': the bn_relu kernels implement the exact
+        # subset-BN backward, so the autodiff side must run it too.
         cfg = ModelConfig(compute_dtype="float32", bn_dtype="float32",
                           bn_stats_fraction=0.25, bn_relu_fused=fused,
-                          fuse_interpret=True,
+                          fuse_interpret=True, bn_grad_mode="exact",
                           stage_sizes=(1, 1), width=32, feature_dim=128,
                           compressed_dim=16)
         model = SimCLR(cfg=cfg)

@@ -15,7 +15,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _fresh_run(code: str, timeout: int = 600):
+def _fresh_run(code: str, timeout: int = 2400):
+    # dryrun_multichip now jits BOTH engines (pjit + explicit shard_map)
+    # over 8 virtual devices on this host's single CPU core — ~20 min of
+    # compile+execute; 600 s flaked once the explicit pass landed.
     return subprocess.run(
         [sys.executable, "-c", code],
         cwd=REPO,

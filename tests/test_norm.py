@@ -229,11 +229,21 @@ def test_subset_st_grad_mode():
     mean = xs.mean(axis=(0, 1, 2))
     var = xs.var(axis=(0, 1, 2))
     a = np.asarray(vs["params"]["scale"]) / np.sqrt(var + 1e-5)
-    np.testing.assert_allclose(gx_st, np.asarray(gy) * a,
+    # Tail rows: exactly gy*A (and identical to exact autodiff).
+    np.testing.assert_allclose(gx_st[k:], np.asarray(gy)[k:] * a,
                                rtol=1e-5, atol=1e-5)
-    # Non-stats rows agree with exact autodiff (they carry no coupling).
     np.testing.assert_allclose(gx_st[k:], gx_ex[k:], rtol=1e-5, atol=1e-5)
-    assert not np.allclose(gx_st[:k], gx_ex[:k], atol=1e-6)  # heads differ
+    # Stats rows: gy*A plus the differentiable-mean S1 correction
+    # -A*sum(gy)/m — the term that keeps sum_channel(dx) == 0.
+    m = k * shape[1] * shape[2]
+    s1 = np.asarray(gy).sum(axis=(0, 1, 2))
+    np.testing.assert_allclose(gx_st[:k],
+                               np.asarray(gy)[:k] * a - a * s1 / m,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gx_st.sum(axis=(0, 1, 2)),
+                               np.zeros_like(s1), atol=1e-3)
+    # The variance coupling is intentionally dropped: heads != exact.
+    assert not np.allclose(gx_st[:k], gx_ex[:k], atol=1e-6)
 
     xhat = (xs - mean) / np.sqrt(var + 1e-5)
     gk = np.asarray(gy)[:k]

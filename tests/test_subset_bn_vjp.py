@@ -141,8 +141,12 @@ def test_full_model_grads_match():
         jnp.float32)
 
     def grads(fused):
+        # bn_grad_mode='exact': the custom VJP implements the exact
+        # subset-BN backward, so the autodiff side must run it too (the
+        # production default is the deviating 'subset_st').
         cfg = ModelConfig(compute_dtype="float32", bn_dtype="float32",
                           bn_stats_fraction=0.25, bn_fused_vjp=fused,
+                          bn_grad_mode="exact",
                           stage_sizes=(1, 1), width=8, feature_dim=32,
                           compressed_dim=8)
         model = SimCLR(cfg=cfg)

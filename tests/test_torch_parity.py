@@ -132,9 +132,12 @@ def make_reference_simclr(seed: int = 0):
 
 
 def f32_model_cfg() -> ModelConfig:
-    """Full-precision, full-batch-stats config for bit-level comparison."""
+    """Full-precision, full-batch-stats config for bit-level comparison.
+    bn_grad_mode='exact': torch's BN backward is the true autodiff one, so
+    the gradient comparison must run the exact mode (the production
+    'subset_st' default intentionally deviates — results/parity_stgrad)."""
     return ModelConfig(compute_dtype="float32", bn_dtype="float32",
-                       bn_stats_fraction=1.0)
+                       bn_stats_fraction=1.0, bn_grad_mode="exact")
 
 
 def tree_paths(tree):
