@@ -48,6 +48,33 @@ VARIANTS = {
     # stats stop-gradiented, dscale/dbias from the k-sample estimator —
     # pure autodiff, reductions shrink to k-row slices.
     "stgrad": {"bn_grad_mode": "subset_st"},
+    # PERF PROBE ONLY (collapses training): mean stop-gradiented too, to
+    # measure the marginal cost of the per-BN full-tensor sum(gy) reduce.
+    # Measured 9.09 vs 9.10 stgrad: ZERO — the sums ride conv dgrad
+    # epilogues for free (see models/norm.py + ARCHITECTURE.md §5).
+    "stgrad_nomean": {"bn_grad_mode": "subset_st_nomean"},
+    # subset_st with the surrogate as a full-row iota mask instead of a
+    # k-row slice (tile-contiguous streams on batch-minor layouts).
+    # Measured 8.04: 16x surrogate traffic beats any tiling win.
+    "stgrad_w": {"bn_grad_mode": "subset_st_w"},
+    # optimization_barrier after each ReLU: splits the backward dgrad
+    # conv out of the recomputed mask/scale elementwise chain.
+    # Measured 7.26: XLA's giant cross-op fusions win again.
+    "barrier": {"relu_barrier": True},
+    # Shadow bn3/downsample stats (k-row parameter-shared conv recompute)
+    # so the block-output BN apply+add+relu fuses into conv3's epilogue,
+    # deleting the raw-output materialize+re-read. Exactly equivalent
+    # math (models/resnet.Bottleneck). MEASURED (v5e, batch 1024):
+    # 9.61 vs 9.16 steps/s — now the DEFAULT; 'noshadow' is the A/B off.
+    "shadow": {"bn3_shadow_stats": True},
+    "noshadow": {"bn3_shadow_stats": False},
+    # Shadow stats on EVERY conv->BN pair (bn1/bn2/stem too).
+    # MEASURED (v5e, batch 1024): 9.02 vs 9.58 shadow — SLOWER. conv1/
+    # conv2 outputs feed the next conv, whose backward needs the
+    # post-ReLU activation anyway, so the raw-output materialize isn't
+    # deletable there; the three extra k-row shadow convs are pure cost.
+    # bn3 is the special case: its pre-BN output has no other consumer.
+    "shadow_all": {"bn3_shadow_stats": True, "bn12_shadow_stats": True},
 }
 
 

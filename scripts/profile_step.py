@@ -35,33 +35,61 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
     with open(max(paths, key=os.path.getmtime), "rb") as f:
         xspace.ParseFromString(f.read())
 
+    import re as _re
+
     for plane in xspace.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
-        meta = {m_id: m.name or m.display_name
+        stat_names = {sid: sm.name for sid, sm in plane.stat_metadata.items()}
+
+        def ev_meta(m):
+            """Per-op attribution from the event-metadata stats — the HLO
+            instruction NAME is unreliable (XLA names conv-root fusions
+            after their epilogue ops: a `multiply_reduce_fusion.N` can be
+            a conv dgrad that also emits a BN sum), so label by the
+            profiler's own `hlo_category` + the model-path tail of
+            `tf_op`, and carry bytes/flops for roofline columns."""
+            cat, tf_op, nbytes, flops = "", "", 0, 0
+            for st in m.stats:
+                sn = stat_names.get(st.metadata_id)
+                if sn == "hlo_category":
+                    cat = st.str_value
+                elif sn == "tf_op":
+                    tf_op = st.str_value
+                elif sn == "bytes_accessed":
+                    nbytes = st.int64_value or st.uint64_value
+                elif sn == "flops":
+                    flops = st.int64_value or st.uint64_value
+            # tf_op tail: '.../f/layer1_0/conv2/conv_general_dilated:' ->
+            # 'f/layer1_0/conv2/conv_general_dilated'
+            tail = "/".join(tf_op.rstrip(":").split("/")[-4:])
+            name = m.name or m.display_name
+            shape = ""
+            head = name.split(" = ", 1)
+            if len(head) > 1:
+                sm_ = _re.match(r"\(?\s*([a-z0-9]+\[[^\]]*\])", head[1])
+                if sm_:
+                    shape = sm_.group(1)
+            op = _re.sub(r"\.\d+$", "", head[0].lstrip("%"))
+            return op, cat, tail, shape, nbytes, flops
+
+        meta = {m_id: ev_meta(m)
                 for m_id, m in plane.event_metadata.items()}
         totals = collections.Counter()
         count = collections.Counter()
-        import re as _re
+        tbytes = collections.Counter()
+        tflops = collections.Counter()
+        bycat = collections.Counter()
 
-        def family(name: str) -> str:
-            """Aggregate HLO instruction names into op families:
-            '%convert_reduce_fusion.123 = bf16[...] fusion(...)' ->
-            'convert_reduce_fusion bf16[1024,32,32,256]'. Only the
-            instruction-name head is inspected — matching substrings of
-            the full HLO text also hits operand names and mislabels
-            compute ops as copies."""
-            head = name.split(" = ", 1)
-            op = _re.sub(r"\.\d+$", "", head[0].lstrip("%"))
+        def family(op, cat, tail, shape):
             if op in ("copy-start", "copy-done", "slice-start",
                       "slice-done", "copy"):
                 return "async copies (overlapped)"
-            shape = ""
-            if len(head) > 1:
-                m = _re.match(r"\(?\s*([a-z0-9]+\[[^\]]*\])", head[1])
-                if m:
-                    shape = " " + m.group(1)
-            return op + shape
+            # Collapse per-block names (layer3_5 -> layer3) so repeated
+            # blocks aggregate; keep the op role.
+            tail = _re.sub(r"(layer\d)_\d+", r"\1", tail)
+            tail = _re.sub(r"_\d+/", "/", tail)
+            return f"{cat or op} | {tail} {shape}"
 
         for line in plane.lines:
             # Only the synchronous 'XLA Ops' line: 'Async XLA Ops' carries
@@ -71,31 +99,49 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
             if lname not in ("xla ops", "ops"):
                 continue
             for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                if name.lstrip("%").startswith(("while", "body", "cond")):
-                    continue  # control wrappers double-count their bodies
-                totals[family(name)] += ev.duration_ps
-                count[family(name)] += 1
-        if not totals:
-            # Fall back: aggregate every line except steps.
-            for line in plane.lines:
-                if "step" in line.name.lower():
+                if ev.metadata_id not in meta:
                     continue
-                for ev in line.events:
-                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    totals[name] += ev.duration_ps
-                    count[name] += 1
+                op, cat, tail, shape, nbytes, flops = meta[ev.metadata_id]
+                if op.startswith(("while", "body", "cond")):
+                    continue  # control wrappers double-count their bodies
+                key = family(op, cat, tail, shape)
+                totals[key] += ev.duration_ps
+                count[key] += 1
+                tbytes[key] += nbytes
+                tflops[key] += flops
+                bycat[cat or op] += ev.duration_ps
         if not totals:
             continue
         device_total_ms = sum(totals.values()) / 1e9
         print(f"\n=== plane: {plane.name} | device busy "
               f"{device_total_ms:.1f} ms | {device_total_ms / n_steps:.2f} "
               f"ms/step over {n_steps} steps ===")
-        print(f"{'ms/step':>9} {'%dev':>6} {'calls':>6}  op")
-        for name, ps in totals.most_common(top):
+        print("\n--- by hlo_category ---")
+        for cat, ps in bycat.most_common():
+            print(f"{ps / 1e9 / n_steps:9.3f} ms/step "
+                  f"{100 * ps / 1e9 / device_total_ms:5.1f}%  {cat}")
+        # Roofline floor: per op family, time >= max(bytes/HBM_peak,
+        # flops/MXU_peak). Summing the floors gives the best possible
+        # ms/step for THIS op decomposition (fusing ops can beat it).
+        HBM, MXU = 819e9, 394e12  # v5e: GB/s, bf16 FLOP/s
+        floor_ms = sum(max(tbytes[k] / HBM, tflops[k] / MXU)
+                       for k in totals) * 1e3
+        print(f"\nroofline floor for this op decomposition: "
+              f"{floor_ms / n_steps:.2f} ms/step "
+              f"(measured {device_total_ms / n_steps:.2f}; "
+              f"headroom {device_total_ms / max(floor_ms, 1e-9):.2f}x)")
+        print(f"\n{'ms/step':>9} {'%dev':>5} {'calls':>6} {'GB/s':>6} "
+              f"{'TF/s':>6} {'xFloor':>6}  op")
+        for key, ps in totals.most_common(top):
             ms = ps / 1e9
-            print(f"{ms / n_steps:9.3f} {100 * ms / device_total_ms:6.1f} "
-                  f"{count[name]:6d}  {name[:110]}")
+            secs = ps / 1e12
+            gbs = tbytes[key] / secs / 1e9 if secs else 0.0
+            tfs = tflops[key] / secs / 1e12 if secs else 0.0
+            fl = max(tbytes[key] / HBM, tflops[key] / MXU)
+            xfl = secs / fl if fl else 0.0
+            print(f"{ms / n_steps:9.3f} {100 * ms / device_total_ms:5.1f} "
+                  f"{count[key]:6d} {gbs:6.0f} {tfs:6.1f} {xfl:6.2f}  "
+                  f"{key[:90]}")
 
 
 def main() -> None:

@@ -159,6 +159,17 @@ class ModelConfig:
     # 'pallas' (layout-native one-pass kernel) or 'xla' (same
     # restructured math as plain ops; relies on XLA sibling fusion).
     bn_relu_impl: str = "pallas"
+    # Fusion-rooting experiment: optimization_barrier after each ReLU.
+    relu_barrier: bool = False
+    # Shadow bn3/downsample statistics: recompute the k stats rows with a
+    # parameter-shared conv on the sliced input so the block-output BN
+    # apply(+add+relu) fuses into the conv's epilogue (models/resnet.py
+    # Bottleneck.shadow_bn3). Mathematically exact vs the sliced-stats
+    # path (tests/test_norm_shadow.py). Measured on v5e at batch 1024:
+    # 9.61 vs 9.16 steps/s (+4.9%) — default ON.
+    bn3_shadow_stats: bool = True
+    # Extend shadow statistics to bn1/bn2 and the stem BN.
+    bn12_shadow_stats: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,7 +67,19 @@ class SubsetBatchNorm(nn.Module):
     grad_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x_subset=None):
+        """``x_subset``, when given, must equal ``x[:k]`` mathematically
+        (e.g. the same conv applied to the leading k input rows — a
+        "shadow" recompute). Statistics and the straight-through
+        surrogate then read it INSTEAD of slicing ``x``, which makes the
+        normalize(+add/relu downstream) chain independent of the full
+        tensor's statistics pass — XLA can fuse the whole apply into the
+        producing conv's output epilogue instead of materializing the
+        raw conv output and re-reading it (measured: the forward
+        residual-add passes were 15.4 ms/step of a 106 ms step).
+        Gradients re-route through ``x_subset``'s producer; by linearity
+        of conv dgrad/wgrad the total upstream gradient is mathematically
+        identical (tests/test_norm_shadow.py)."""
         feats = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (feats,),
                            jnp.float32)
@@ -100,9 +112,13 @@ class SubsetBatchNorm(nn.Module):
             return y
         else:
             n = x.shape[0]
-            k = min(max(int(n * self.stats_fraction),
-                        self.min_stats_samples), n)
-            xs = x[:k].astype(jnp.float32)
+            if x_subset is not None:
+                k = x_subset.shape[0]
+                xs = x_subset.astype(jnp.float32)
+            else:
+                k = min(max(int(n * self.stats_fraction),
+                            self.min_stats_samples), n)
+                xs = x[:k].astype(jnp.float32)
             red = tuple(range(xs.ndim - 1))
             # One-pass variance, shifted for conditioning: raw
             # E[x^2]-E[x]^2 cancels catastrophically in f32 when
@@ -143,7 +159,9 @@ class SubsetBatchNorm(nn.Module):
         rsig_dt = jax.lax.rsqrt(var + self.epsilon).astype(dt)
         scale_dt = scale.astype(dt)
         bias_dt = bias.astype(dt)
-        if self.grad_mode == "subset_st" and not self.use_running_average:
+        if (self.grad_mode in ("subset_st", "subset_st_nomean",
+                               "subset_st_w")
+                and not self.use_running_average):
             sg = jax.lax.stop_gradient
             # Value path: identical numbers. The MEAN stays differentiable
             # — autodiff routes -A*sum(gy)/m onto the k statistics rows,
@@ -157,7 +175,19 @@ class SubsetBatchNorm(nn.Module):
             # dropped radial term only slows weight-norm growth, and
             # scale/bias gradients ride the subset surrogate below. The
             # S1 reduction reads gy once; no x re-read, no patch pass.
-            y = (x.astype(dt) - mean.astype(dt)) * sg(rsig_dt * scale_dt) \
+            # 'subset_st_nomean' is a PERF PROBE, not a trainable mode: it
+            # stop-gradients the mean as well, removing the per-BN
+            # full-tensor sum(gy) reduce from the backward — but the
+            # leaked per-channel common mode collapses training (see
+            # above). Used only to measure that bucket's marginal cost.
+            # MEASURED (v5e, batch 1024): 9.09 vs 9.10 steps/s — ZERO.
+            # The sum(gy) reductions fuse into the conv dgrad epilogues
+            # (kOutput fusions emitting the [C] sum as a side output),
+            # so they ride streams the backward pays for anyway. Kept as
+            # the documented proof that BN backward is at its floor.
+            mean_b = (sg(mean.astype(dt)) if self.grad_mode
+                      == "subset_st_nomean" else mean.astype(dt))
+            y = (x.astype(dt) - mean_b) * sg(rsig_dt * scale_dt) \
                 + sg(bias_dt)
             if not self.is_initializing():
                 # ...and the affine gradients ride a straight-through
@@ -168,14 +198,39 @@ class SubsetBatchNorm(nn.Module):
                 # HBM read, and the backward reductions touch only the
                 # k-row slices of the cotangent.
                 n = x.shape[0]
-                kk = min(max(int(n * self.stats_fraction),
-                             self.min_stats_samples), n)
+                if x_subset is not None:
+                    kk = x_subset.shape[0]
+                else:
+                    kk = min(max(int(n * self.stats_fraction),
+                                 self.min_stats_samples), n)
                 est = jnp.asarray(n / kk, dt)
-                xhat_k = (x[:kk].astype(dt) - sg(mean_dt)) * sg(rsig_dt)
-                sur = (xhat_k * (scale_dt - sg(scale_dt))
-                       + (bias_dt - sg(bias_dt))) * est
-                pad = [(0, n - kk)] + [(0, 0)] * (x.ndim - 1)
-                y = y + jnp.pad(sur, pad)
+                if self.grad_mode == "subset_st_w":
+                    # Mask formulation of the same estimator: instead of
+                    # slicing the leading k rows (a strided half-tile
+                    # lane-slice when XLA lays BATCH on the 128 lanes,
+                    # which it does for C<=128 tensors), weight all rows
+                    # by an iota mask. Identical value (exactly 0) and
+                    # gradient; the streams stay tile-contiguous and the
+                    # backward reductions can fuse into the passes that
+                    # already read gy and x.
+                    # MEASURED (v5e, batch 1024): 8.04 vs 9.10 steps/s —
+                    # SLOWER. The full-row surrogate turns a k-row slice
+                    # read into an n-row elementwise pass; tile
+                    # contiguity does not pay for 16x the traffic.
+                    w = (jnp.arange(n) < kk).astype(dt).reshape(
+                        (n,) + (1,) * (x.ndim - 1))
+                    xhat = (x.astype(dt) - sg(mean_dt)) * sg(rsig_dt)
+                    sur = (xhat * (scale_dt - sg(scale_dt))
+                           + (bias_dt - sg(bias_dt))) * (w * est)
+                    y = y + sur
+                else:
+                    xk = (x_subset if x_subset is not None
+                          else x[:kk]).astype(dt)
+                    xhat_k = (xk - sg(mean_dt)) * sg(rsig_dt)
+                    sur = (xhat_k * (scale_dt - sg(scale_dt))
+                           + (bias_dt - sg(bias_dt))) * est
+                    pad = [(0, n - kk)] + [(0, 0)] * (x.ndim - 1)
+                    y = y + jnp.pad(sur, pad)
             return y
         y = (x.astype(dt) - mean_dt) * (rsig_dt * scale_dt) + bias_dt
         return y

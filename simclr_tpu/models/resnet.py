@@ -87,8 +87,29 @@ class Bottleneck(nn.Module):
     # Factory for the fused BN(+add)+ReLU module (models/norm.SubsetBNAct,
     # single-pass Pallas backward). None = plain norm + relu autodiff.
     bnact: Optional[Callable[..., Any]] = None
+    # Fusion-rooting experiment: optimization_barrier after each ReLU
+    # (materializes the activation and its cotangent, splitting the
+    # backward dgrad-conv out of the mask/scale elementwise chain).
+    relu_barrier: bool = False
+    # Shadow statistics for bn3/downsample_bn: recompute the k stats rows
+    # with a second (parameter-shared) conv call on the sliced input, so
+    # the bn-apply(+add+relu) no longer depends on a reduction of the
+    # full conv output and XLA can fuse it into the conv's output
+    # epilogue — deleting the raw-conv-output materialize+re-read
+    # (the forward residual-add passes, ~15 ms/step measured). Exactly
+    # equivalent math: conv commutes with row slicing, and conv
+    # dgrad/wgrad linearity makes the re-routed gradients sum to the
+    # same totals (tests/test_norm_shadow.py).
+    shadow_bn3: bool = False
+    # Same trick for bn1/bn2 (the mid-block conv1/conv2 raw outputs).
+    shadow_bn12: bool = False
 
     expansion: int = 4
+
+    def _post_relu(self, y):
+        if self.relu_barrier:
+            return jax.lax.optimization_barrier(y)
+        return y
 
     @nn.compact
     def __call__(self, x):
@@ -99,44 +120,66 @@ class Bottleneck(nn.Module):
             if self.folded:
                 return self._folded_block(x)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="conv1")(x)
+        n = x.shape[0]
+        kk = min(max(int(n * self.stats_fraction),
+                     self.min_stats_samples), n)
+        shadow_ok = self.bn_train and self.bnact is None and kk < n
+        shadow = self.shadow_bn3 and shadow_ok
+        sh12 = self.shadow_bn12 and shadow_ok
+
+        conv1 = nn.Conv(self.features, (1, 1), use_bias=False,
+                        kernel_init=conv_kernel_init, dtype=self.dtype,
+                        name="conv1")
+        y = conv1(x)
         if self.bnact is not None:
             y = self.bnact(mode="relu", name="bn1")(y)
         else:
-            y = self.norm(name="bn1")(y)
-            y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="conv2")(y)
+            y = self.norm(name="bn1")(
+                y, x_subset=conv1(x[:kk]) if sh12 else None)
+            y = self._post_relu(nn.relu(y))
+        conv2 = nn.Conv(self.features, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        kernel_init=conv_kernel_init, dtype=self.dtype,
+                        name="conv2")
+        y2_in = y
+        y = conv2(y2_in)
         if self.bnact is not None:
             y = self.bnact(mode="relu", name="bn2")(y)
         else:
-            y = self.norm(name="bn2")(y)
-            y = nn.relu(y)
-        y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="conv3")(y)
+            y = self.norm(name="bn2")(
+                y, x_subset=conv2(y2_in[:kk]) if sh12 else None)
+            y = self._post_relu(nn.relu(y))
+        conv3 = nn.Conv(self.features * self.expansion, (1, 1),
+                        use_bias=False, kernel_init=conv_kernel_init,
+                        dtype=self.dtype, name="conv3")
+        y_in = y
+        y = conv3(y_in)
+        y3k = conv3(y_in[:kk]) if shadow else None
 
         if residual.shape[-1] != self.features * self.expansion \
                 or self.stride != 1:
-            residual = nn.Conv(
+            ds_conv = nn.Conv(
                 self.features * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
                 kernel_init=conv_kernel_init, dtype=self.dtype,
-                name="downsample_conv")(residual)
+                name="downsample_conv")
+            res_in = residual
+            residual = ds_conv(res_in)
             if self.bnact is not None:
                 residual = self.bnact(mode="none",
                                       name="downsample_bn")(residual)
+            elif shadow:
+                residual = self.norm(name="downsample_bn")(
+                    residual, x_subset=ds_conv(res_in[:kk]))
             else:
                 residual = self.norm(name="downsample_bn")(residual)
 
         if self.bnact is not None:
             return self.bnact(mode="add_relu", name="bn3")(y, residual)
-        y = self.norm(name="bn3")(y)
-        return nn.relu(y + residual)
+        y = self.norm(name="bn3")(y, x_subset=y3k) if shadow \
+            else self.norm(name="bn3")(y)
+        return self._post_relu(nn.relu(y + residual))
 
     def _fused_block(self, x):
         """Identity-block path: two-pass subset statistics + fused Pallas
@@ -307,6 +350,16 @@ class ResNetEncoder(nn.Module):
     # bn_axis_name=None.
     bn_relu_fused: bool = False
     bn_relu_impl: str = "pallas"
+    # optimization_barrier after each ReLU (fusion-rooting experiment).
+    relu_barrier: bool = False
+    # Shadow bn3/downsample statistics (see Bottleneck.shadow_bn3):
+    # stats-independent epilogues for the block-output BNs. Applies to
+    # the plain (unfused) path only.
+    bn3_shadow_stats: bool = False
+    # Extend shadow statistics to bn1/bn2 and the stem BN (every
+    # remaining conv->BN pair), so NO BN apply depends on a reduction of
+    # its producing conv's full output.
+    bn12_shadow_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -324,16 +377,25 @@ class ResNetEncoder(nn.Module):
         x = x.astype(self.dtype)
         if self.low_quality_img:
             # CIFAR stem (reference: models/resnets.py:16-19).
-            x = nn.Conv(self.width, (3, 3), strides=(1, 1),
-                        padding=[(1, 1), (1, 1)], use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name="stem_conv")(x)
+            stem_conv = nn.Conv(self.width, (3, 3), strides=(1, 1),
+                                padding=[(1, 1), (1, 1)], use_bias=False,
+                                kernel_init=conv_kernel_init,
+                                dtype=self.dtype, name="stem_conv")
         else:
-            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name="stem_conv")(x)
-        x = norm(name="stem_bn")(x)
+            stem_conv = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                                padding=[(3, 3), (3, 3)], use_bias=False,
+                                kernel_init=conv_kernel_init,
+                                dtype=self.dtype, name="stem_conv")
+        stem_in = x
+        x = stem_conv(stem_in)
+        n = x.shape[0]
+        kk = min(max(int(n * self.bn_stats_fraction), 64), n)
+        shadow_stem = (self.bn12_shadow_stats and train and kk < n
+                       and not self.fold_bn_scales
+                       and not self.bn_fused_vjp
+                       and not self.bn_relu_fused)
+        x = norm(name="stem_bn")(
+            x, x_subset=stem_conv(stem_in[:kk]) if shadow_stem else None)
         x = nn.relu(x)
         x = self._maybe_dropout(x)
         if not self.low_quality_img:
@@ -368,6 +430,13 @@ class ResNetEncoder(nn.Module):
                                fused_interpret=self.fused_interpret,
                                stats_fraction=self.bn_stats_fraction,
                                bnact=bnact,
+                               relu_barrier=self.relu_barrier,
+                               shadow_bn3=(self.bn3_shadow_stats
+                                           and not self.fold_bn_scales
+                                           and not self.bn_fused_vjp),
+                               shadow_bn12=(self.bn12_shadow_stats
+                                            and not self.fold_bn_scales
+                                            and not self.bn_fused_vjp),
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

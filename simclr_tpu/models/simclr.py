@@ -49,6 +49,9 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         fold_bn_scales=bool(cfg.fold_bn_scales),
         bn_relu_fused=bool(cfg.bn_relu_fused),
         bn_relu_impl=cfg.bn_relu_impl,
+        relu_barrier=cfg.relu_barrier,
+        bn3_shadow_stats=cfg.bn3_shadow_stats,
+        bn12_shadow_stats=cfg.bn12_shadow_stats,
         name=name,
     )
 

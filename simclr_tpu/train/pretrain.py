@@ -52,6 +52,21 @@ from simclr_tpu.train.common import (
 from simclr_tpu.utils import checkpoint as ckpt_lib
 
 
+def _compiler_options() -> Optional[dict]:
+    """Backend compiler overrides for the engine's jitted entry points.
+
+    Read from SIMCLR_TPU_COMPILER_OPTIONS (a JSON object, e.g.
+    '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'). XLA_FLAGS cannot carry
+    TPU backend flags here — the TPU compiler runs behind the axon tunnel
+    and only jit(compiler_options=...) ships per-compile overrides to it
+    (scripts/flag_sweep.py measures candidates)."""
+    s = os.environ.get("SIMCLR_TPU_COMPILER_OPTIONS", "")
+    if not s:
+        return None
+    import json
+    return dict(json.loads(s))
+
+
 @dataclasses.dataclass
 class PretrainEngine:
     """Compiled epoch-granular train/eval functions plus bookkeeping."""
@@ -209,7 +224,8 @@ def build_engine(cfg: Config, model: SimCLR, tx,
         loss, acc = loss_fn(z1, z2)
         return loss / accum, acc
 
-    @partial(jax.jit, donate_argnums=0)
+    @partial(jax.jit, donate_argnums=0,
+             compiler_options=_compiler_options())
     def train_epoch(state, images, idx_mat, key):
         keys = jax.random.split(key, idx_mat.shape[0])
 
