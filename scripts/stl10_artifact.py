@@ -109,8 +109,10 @@ def main() -> None:
                    ("n_unlabeled", "n_train", "n_test", "n_epoch",
                     "batch_size")},
         "img_size": 96,
-        "steps_per_sec": round(res.steps_per_sec, 3),
-        "images_per_sec": round(res.steps_per_sec * args.batch_size, 1),
+        "steps_per_sec": round(res.steady_steps_per_sec, 3),
+        "steps_per_sec_incl_compile": round(res.steps_per_sec, 3),
+        "images_per_sec": round(
+            res.steady_steps_per_sec * args.batch_size, 1),
         "aug_pairs_per_sec": round(aug_pairs, 1),
         "train_loss": [round(float(v), 4) for v in
                        res.history.loss["train"]],
@@ -133,7 +135,8 @@ train/test splits.
 
 | metric | value |
 |---|---|
-| pretrain steps/sec (batch {args.batch_size}, 96x96) | {result["steps_per_sec"]} |
+| pretrain steps/sec, steady state (batch {args.batch_size}, 96x96) | {result["steps_per_sec"]} |
+| steps/sec incl. first-epoch compile | {result["steps_per_sec_incl_compile"]} |
 | images/sec | {result["images_per_sec"]} |
 | aug-pairs/sec at 96x96 | {result["aug_pairs_per_sec"]} |
 | train loss by epoch | {result["train_loss"]} |

@@ -168,11 +168,27 @@ def color_distort_pallas(
     mean = jnp.asarray(ds.mean + (0.0,) * 5, jnp.float32)[None, :]
     std = jnp.asarray(ds.std + (1.0,) * 5, jnp.float32)[None, :]
 
-    # Tile over the batch so the ~15 live (TILE, HW) intermediates of the
-    # 4-step schedule fit comfortably in the 16 MB of VMEM.
+    # Tile over the batch so the ~18 live (TILE, HW) f32 intermediates of
+    # the 4-step schedule fit in scoped VMEM (measured: tile 64 at
+    # HW=1024 allocates ~4.7 MB; at STL's HW=9216 the same tile asked for
+    # 42.77 MB and the compiler refused — the tile must scale with HW).
+    budget = 12 * 2 ** 20
+    live = 20  # 18 measured + margin
     tile = 64
+    while tile > 1 and tile * hw * 4 * live > budget:
+        tile //= 2
     while n % tile:
         tile //= 2
+    if tile < 8:
+        # Degenerate tiling (giant images or odd batch): XLA fallback
+        # with the same op chain (ops/augment primitives).
+        from simclr_tpu.ops.augment import (color_jitter, normalize,
+                                            random_grayscale)
+        k_jit, k_gray = jax.random.split(key)
+        x = color_jitter(k_jit, images, aug.color_distort_strength,
+                         aug.color_jitter_prob)
+        x = random_grayscale(k_gray, x, aug.color_drop_prob)
+        return normalize(x, ds.mean, ds.std)
     grid = (n // tile,)
     plane_spec = pl.BlockSpec((tile, hw), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)

@@ -281,6 +281,9 @@ class PretrainResult:
     history: History
     export_path: Optional[str]
     steps_per_sec: float
+    # Median per-epoch rate EXCLUDING the first (compile-dominated)
+    # epoch; equals steps_per_sec when only one epoch ran.
+    steady_steps_per_sec: float = 0.0
 
 
 def pretrain(
@@ -368,6 +371,7 @@ def pretrain(
 
     total_steps = 0
     t_train = 0.0
+    epoch_secs = []
     for epoch in range(start_epoch, tcfg.n_epoch):
         k_epoch = jax.random.fold_in(k_data, epoch)
         k_perm, k_steps, k_eval = jax.random.split(k_epoch, 3)
@@ -385,7 +389,8 @@ def pretrain(
             state, (losses, accs) = engine.train_epoch(
                 state, split.train.images, idx_mat, k_steps)
         losses, accs = np.asarray(losses), np.asarray(accs)
-        t_train += time.perf_counter() - t0
+        epoch_secs.append(time.perf_counter() - t0)
+        t_train += epoch_secs[-1]
         total_steps += steps_per_epoch
         if metrics:
             metrics.log(
@@ -451,5 +456,8 @@ def pretrain(
     if metrics:
         metrics.close()
     sps = total_steps / t_train if t_train > 0 else 0.0
+    warm = epoch_secs[1:] or epoch_secs
+    steady = (steps_per_epoch / float(np.median(warm))) if warm else sps
     return PretrainResult(state=state, history=history,
-                          export_path=final_export, steps_per_sec=sps)
+                          export_path=final_export, steps_per_sec=sps,
+                          steady_steps_per_sec=steady)

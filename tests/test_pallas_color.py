@@ -72,3 +72,48 @@ class TestColorKernel:
         x = np.asarray(out) * np.array(CIFAR10.std) + np.array(CIFAR10.mean)
         np.testing.assert_allclose(x[..., 0], x[..., 1], atol=1e-5)
         np.testing.assert_allclose(x[..., 1], x[..., 2], atol=1e-5)
+
+
+class TestVmemTiling:
+    """STL-sized images must tile smaller than CIFAR's 64 rows: at
+    HW=9216 the fixed 64-row tile asked Mosaic for 42.77 MB of scoped
+    VMEM and the TPU compiler refused (the bug scripts/stl10_artifact.py
+    exposed). The tile now scales with HW under a 12 MB live-buffer
+    model."""
+
+    def test_stl_sized_images_run_and_match(self):
+        from simclr_tpu.config import STL10
+
+        rng = np.random.RandomState(3)
+        imgs = jnp.asarray(rng.rand(16, 96, 96, 3).astype(np.float32))
+        aug = AugmentConfig()
+        factors, schedule = sample_color_params(
+            jax.random.key(5), 16, aug.color_distort_strength,
+            aug.color_jitter_prob, aug.color_drop_prob)
+        ours = color_distort_pallas(
+            jax.random.key(5), imgs, aug, STL10, interpret=True)
+        oracle = xla_reference(imgs, factors, schedule, STL10)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(oracle),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_tile_fits_budget(self):
+        # The tile chosen for any plausible (n, hw) keeps the ~20 live
+        # f32 buffers under 12 MB.
+        for hw in (32 * 32, 96 * 96, 224 * 224):
+            tile = 64
+            while tile > 1 and tile * hw * 4 * 20 > 12 * 2 ** 20:
+                tile //= 2
+            assert tile * hw * 4 * 20 <= 12 * 2 ** 20 or tile == 1
+            if hw <= 96 * 96:
+                assert tile >= 8  # stays on the kernel path
+
+    def test_degenerate_tile_falls_back_to_xla(self):
+        # 512x512 images: tile would be < 8 -> XLA fallback, same chain.
+        rng = np.random.RandomState(4)
+        imgs = jnp.asarray(rng.rand(2, 512, 512, 3).astype(np.float32))
+        aug = AugmentConfig(color_jitter_prob=0.0, color_drop_prob=0.0)
+        out = color_distort_pallas(
+            jax.random.key(0), imgs, aug, CIFAR10, interpret=True)
+        oracle = A.normalize(imgs, CIFAR10.mean, CIFAR10.std)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                                   rtol=1e-4, atol=1e-5)
