@@ -63,10 +63,18 @@ def main() -> None:
     z1b = jax.random.normal(key, (n_bad, d), jnp.float32)
     z2b = jax.random.normal(jax.random.key(1), (n_bad, d), jnp.float32)
     assert not ntxent.supports(n_bad, d)
-    from simclr_tpu.ops.losses import nt_xent_loss
+    import dataclasses
 
-    loss_auto, _ = jax.jit(
-        lambda a, b: pl_ops.nt_xent_auto(a, b, temperature=0.5))(z1b, z2b)
+    from simclr_tpu.config import Config, TrainConfig
+    from simclr_tpu.ops.losses import nt_xent_loss
+    from simclr_tpu.train.pretrain import contrastive_fn
+
+    # The production selector (train/pretrain.contrastive_fn) must pick
+    # the XLA path for this shape.
+    cfg = Config(train=TrainConfig(batch_size=n_bad))
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                compressed_dim=d))
+    loss_auto, _ = jax.jit(contrastive_fn(cfg))(z1b, z2b)
     loss_ref, _ = jax.jit(
         lambda a, b: nt_xent_loss(a, b, temperature=0.5))(z1b, z2b)
     np.testing.assert_allclose(float(np.asarray(loss_auto)),
