@@ -123,7 +123,11 @@ def parse_xspace(logdir: str, n_steps: int, top: int) -> None:
         # Roofline floor: per op family, time >= max(bytes/HBM_peak,
         # flops/MXU_peak). Summing the floors gives the best possible
         # ms/step for THIS op decomposition (fusing ops can beat it).
-        HBM, MXU = 819e9, 394e12  # v5e: GB/s, bf16 FLOP/s
+        # v5e peaks: 819 GB/s HBM, 197 TFLOP/s bf16 MXU. (Rounds 1-3 used
+        # 394e12 here — the int8 TOPS number — which HALVED every
+        # flops-bound floor and overstated the conv2 headroom by 2x; the
+        # ARCHITECTURE.md §5 "95.1 ms floor" was computed with it.)
+        HBM, MXU = 819e9, 197e12
         floor_ms = sum(max(tbytes[k] / HBM, tflops[k] / MXU)
                        for k in totals) * 1e3
         print(f"\nroofline floor for this op decomposition: "
