@@ -15,10 +15,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _fresh_run(code: str, timeout: int = 2400):
-    # dryrun_multichip now jits BOTH engines (pjit + explicit shard_map)
-    # over 8 virtual devices on this host's single CPU core — ~20 min of
-    # compile+execute; 600 s flaked once the explicit pass landed.
+def _fresh_run(code: str, timeout: int = 3000):
+    # dryrun_multichip now jits THREE engine programs (pjit NT-Xent,
+    # pjit modified-loss, explicit shard_map) over 8 virtual devices on
+    # this host's single CPU core — ~20-30 min of compile+execute.
     return subprocess.run(
         [sys.executable, "-c", code],
         cwd=REPO,
@@ -37,8 +37,10 @@ def test_dryrun_multichip_fresh_interpreter_like_driver():
         "g.dryrun_multichip(8)\n"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dryrun_multichip(8): ok" in proc.stdout, (
-        proc.stdout[-500:], proc.stderr[-1000:])
+    for marker in ("4-step scan ok", "sharded ckpt save/restore ok",
+                   "modified-loss step ok", "explicit engine ok"):
+        assert f"dryrun_multichip(8): {marker}" in proc.stdout, (
+            marker, proc.stdout[-800:], proc.stderr[-1000:])
 
 
 def test_entry_compiles_fresh_interpreter():
