@@ -75,6 +75,24 @@ VARIANTS = {
     # deletable there; the three extra k-row shadow convs are pure cost.
     # bn3 is the special case: its pre-BN output has no other consumer.
     "shadow_all": {"bn3_shadow_stats": True, "bn12_shadow_stats": True},
+    # ReLU backward mask from the OUTPUT (models/resnet.py
+    # relu_vjp_from_output): identical math; the backward mask reads the
+    # materialized activations instead of forcing XLA to keep/recompute
+    # the fused pre-activations.
+    "reluout": {"relu_from_output": True},
+    "reluout_off": {"relu_from_output": False},
+    # Fused Winograd conv2 (ops/pallas/winograd.py): 2.25x fewer MXU
+    # FLOPs for the stride-1 layer2-4 conv2s.
+    "winograd": {"winograd_conv2": True},
+    # ... plus shadow bn1/bn2 statistics so the applies around the
+    # (fusion-opaque) Pallas call stay epilogue-fusable into the
+    # neighboring XLA convs.
+    "winograd_sh12": {"winograd_conv2": True, "bn12_shadow_stats": True},
+    # jax.checkpoint over the bandwidth-bound 32x32 layer1 bottlenecks:
+    # don't save relu1/relu2 (2x134 MB writes + reads per block), let the
+    # backward recompute them from the block input it reads anyway.
+    "remat1": {"remat_stages": (0,)},
+    "remat12": {"remat_stages": (0, 1)},
 }
 
 

@@ -170,6 +170,23 @@ class ModelConfig:
     bn3_shadow_stats: bool = True
     # Extend shadow statistics to bn1/bn2 and the stem BN.
     bn12_shadow_stats: bool = False
+    # ReLU backward mask from the OUTPUT tensor (y > 0) instead of the
+    # fused, never-materialized pre-activation (x > 0) — bit-identical
+    # values and gradients (models/resnet.relu_vjp_from_output).
+    relu_from_output: bool = False
+    # Fused Winograd F(2x2,3x3) Pallas kernel for the stride-1
+    # identity-block conv2 (layers with width % 128 == 0): 2.25x fewer
+    # MXU FLOPs at identical HBM traffic (ops/pallas/winograd.py).
+    # Only active with bfloat16 compute on a TPU backend (or with
+    # winograd_interpret for CPU tests); everywhere else the standard
+    # XLA conv runs. Parameter trees are identical either way.
+    winograd_conv2: bool = False
+    # Run the Winograd kernel in Pallas interpret mode (CPU tests).
+    winograd_interpret: bool = False
+    # Stages (0-based) whose bottlenecks run under jax.checkpoint —
+    # backward recomputes intra-block activations instead of reading
+    # saved ones (models/resnet.py remat_stages). Identical math.
+    remat_stages: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,6 +43,56 @@ conv_kernel_init = nn.initializers.variance_scaling(
 )
 
 
+class WinogradConv3x3(nn.Module):
+    """Drop-in for the stride-1 SAME 3x3 ``nn.Conv``: same parameter
+    name/shape/init ("kernel", (3,3,C,K)), but the convolution runs
+    through the fused Winograd Pallas kernel (ops/pallas/winograd.py) —
+    2.25x fewer MXU FLOPs at identical HBM traffic. Only instantiated
+    for bf16 compute on widths that are multiples of 128 (the Bottleneck
+    gates this); everywhere else the plain conv is used, and checkpoints
+    interchange freely because the trees are identical."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from simclr_tpu.ops.pallas.winograd import winograd_conv3x3
+        w = self.param("kernel", conv_kernel_init,
+                       (3, 3, x.shape[-1], self.features), jnp.float32)
+        return winograd_conv3x3(x.astype(self.dtype),
+                                w.astype(self.dtype), self.interpret)
+
+
+@jax.custom_vjp
+def relu_vjp_from_output(x):
+    """ReLU whose VJP masks with the OUTPUT (y > 0) instead of the input
+    (x > 0) — bit-identical values and gradients (y > 0 ⟺ x > 0).
+
+    Why it exists: in this network every ReLU's *input* is a fused
+    epilogue value (BN-apply of a conv output, or conv3+residual add)
+    that XLA never materializes, while the *output* is the tensor the
+    next op consumes and therefore lives in HBM anyway. jnp.maximum's
+    VJP references the pre-activation, forcing XLA to either keep it
+    alive or rematerialize the producing chain inside every backward
+    fusion that needs the mask; expressing the mask in terms of the
+    output lets the backward read a tensor that already exists."""
+    return jnp.maximum(x, 0)
+
+
+def _rvo_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _rvo_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu_vjp_from_output.defvjp(_rvo_fwd, _rvo_bwd)
+
+
 class _ConvKernel(nn.Module):
     """Parameter-only holder declaring a conv kernel under the same
     name/shape nn.Conv would ('<name>/kernel', (kh, kw, in, out)), so the
@@ -103,6 +153,12 @@ class Bottleneck(nn.Module):
     shadow_bn3: bool = False
     # Same trick for bn1/bn2 (the mid-block conv1/conv2 raw outputs).
     shadow_bn12: bool = False
+    # ReLU backward mask from the OUTPUT (relu_vjp_from_output above).
+    relu_from_output: bool = False
+    # Fused Winograd Pallas kernel for the stride-1 conv2 (see
+    # WinogradConv3x3 above; gated to bf16 + width % 128 == 0).
+    winograd_conv2: bool = False
+    winograd_interpret: bool = False
 
     expansion: int = 4
 
@@ -110,6 +166,10 @@ class Bottleneck(nn.Module):
         if self.relu_barrier:
             return jax.lax.optimization_barrier(y)
         return y
+
+    def _relu(self, y):
+        f = relu_vjp_from_output if self.relu_from_output else nn.relu
+        return self._post_relu(f(y))
 
     @nn.compact
     def __call__(self, x):
@@ -136,12 +196,19 @@ class Bottleneck(nn.Module):
         else:
             y = self.norm(name="bn1")(
                 y, x_subset=conv1(x[:kk]) if sh12 else None)
-            y = self._post_relu(nn.relu(y))
-        conv2 = nn.Conv(self.features, (3, 3),
-                        strides=(self.stride, self.stride),
-                        padding=[(1, 1), (1, 1)], use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name="conv2")
+            y = self._relu(y)
+        if (self.winograd_conv2 and self.stride == 1
+                and self.features % 128 == 0
+                and self.dtype == jnp.bfloat16):
+            conv2 = WinogradConv3x3(self.features, dtype=self.dtype,
+                                    interpret=self.winograd_interpret,
+                                    name="conv2")
+        else:
+            conv2 = nn.Conv(self.features, (3, 3),
+                            strides=(self.stride, self.stride),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            kernel_init=conv_kernel_init, dtype=self.dtype,
+                            name="conv2")
         y2_in = y
         y = conv2(y2_in)
         if self.bnact is not None:
@@ -149,7 +216,7 @@ class Bottleneck(nn.Module):
         else:
             y = self.norm(name="bn2")(
                 y, x_subset=conv2(y2_in[:kk]) if sh12 else None)
-            y = self._post_relu(nn.relu(y))
+            y = self._relu(y)
         conv3 = nn.Conv(self.features * self.expansion, (1, 1),
                         use_bias=False, kernel_init=conv_kernel_init,
                         dtype=self.dtype, name="conv3")
@@ -179,7 +246,7 @@ class Bottleneck(nn.Module):
             return self.bnact(mode="add_relu", name="bn3")(y, residual)
         y = self.norm(name="bn3")(y, x_subset=y3k) if shadow \
             else self.norm(name="bn3")(y)
-        return self._post_relu(nn.relu(y + residual))
+        return self._relu(y + residual)
 
     def _fused_block(self, x):
         """Identity-block path: two-pass subset statistics + fused Pallas
@@ -360,6 +427,21 @@ class ResNetEncoder(nn.Module):
     # remaining conv->BN pair), so NO BN apply depends on a reduction of
     # its producing conv's full output.
     bn12_shadow_stats: bool = False
+    # ReLU backward mask from the OUTPUT (relu_vjp_from_output): the
+    # backward relu masks read the materialized block activations
+    # instead of keeping/recomputing the fused pre-activations.
+    relu_from_output: bool = False
+    # Fused Winograd Pallas kernel for stride-1 identity-block conv2
+    # (ops/pallas/winograd.py; active only for bf16 + width % 128 == 0,
+    # i.e. layers 2-4 — layer1's width-64 conv2 keeps the XLA conv).
+    winograd_conv2: bool = False
+    winograd_interpret: bool = False
+    # Stages (0-based) whose bottleneck blocks run under jax.checkpoint
+    # (nn.remat): the forward saves only block boundaries and the backward
+    # recomputes the intra-block activations, trading HBM writes+reads of
+    # the relu1/relu2 intermediates for recompute FLOPs. A candidate for
+    # the bandwidth-bound 32x32 layer1 only; identical math.
+    remat_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -396,7 +478,8 @@ class ResNetEncoder(nn.Module):
                        and not self.bn_relu_fused)
         x = norm(name="stem_bn")(
             x, x_subset=stem_conv(stem_in[:kk]) if shadow_stem else None)
-        x = nn.relu(x)
+        x = (relu_vjp_from_output if self.relu_from_output
+             else nn.relu)(x)
         x = self._maybe_dropout(x)
         if not self.low_quality_img:
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
@@ -417,10 +500,14 @@ class ResNetEncoder(nn.Module):
                 interpret=self.fused_interpret,
                 impl=self.bn_relu_impl, **kw)
         for stage, n_blocks in enumerate(self.stage_sizes):
+            # prevent_cse=False: the blocks run inside the epoch lax.scan,
+            # where XLA cannot CSE across the remat boundary anyway.
+            block_cls = (nn.remat(Bottleneck, prevent_cse=False)
+                         if stage in self.remat_stages else Bottleneck)
             for block in range(n_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
                 width = self.width * 2 ** stage
-                x = Bottleneck(width, stride=stride,
+                x = block_cls(width, stride=stride,
                                norm=norm, dtype=self.dtype,
                                fused=(self.fuse_identity_blocks
                                       and width >= self.fuse_min_width),
@@ -437,6 +524,9 @@ class ResNetEncoder(nn.Module):
                                shadow_bn12=(self.bn12_shadow_stats
                                             and not self.fold_bn_scales
                                             and not self.bn_fused_vjp),
+                               relu_from_output=self.relu_from_output,
+                               winograd_conv2=self.winograd_conv2,
+                               winograd_interpret=self.winograd_interpret,
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

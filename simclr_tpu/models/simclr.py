@@ -52,6 +52,12 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         relu_barrier=cfg.relu_barrier,
         bn3_shadow_stats=cfg.bn3_shadow_stats,
         bn12_shadow_stats=cfg.bn12_shadow_stats,
+        relu_from_output=cfg.relu_from_output,
+        winograd_conv2=(cfg.winograd_conv2
+                        and (cfg.winograd_interpret
+                             or jax.default_backend() == "tpu")),
+        winograd_interpret=cfg.winograd_interpret,
+        remat_stages=tuple(cfg.remat_stages),
         name=name,
     )
 

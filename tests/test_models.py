@@ -187,3 +187,35 @@ def test_folded_block_matches_unfused_f32():
         a, b = np.ravel(a), np.ravel(b)
         denom = np.linalg.norm(a) * np.linalg.norm(b) + 1e-30
         assert float(np.dot(a, b) / denom) > 0.9999
+
+
+def test_remat_stages_bit_identical():
+    """remat_stages (jax.checkpoint over bottlenecks) must be a pure
+    scheduling hint: bit-identical outputs, batch stats, and gradients
+    under jit vs the standard path."""
+    kw = dict(stage_sizes=(2, 2), width=8, low_quality_img=True,
+              bn_stats_fraction=0.5, dtype=jnp.float32,
+              bn_dtype=jnp.float32)
+    enc_a = ResNetEncoder(**kw)
+    enc_b = ResNetEncoder(**kw, remat_stages=(0, 1))
+    x = jax.random.normal(jax.random.key(1), (32, 8, 8, 3), jnp.float32)
+    vs = enc_a.init({"params": jax.random.key(0)}, x, train=True)
+    # remat is a lifted transform, not a parameter change: same tree.
+    assert jax.tree.structure(vs["params"]) == jax.tree.structure(
+        enc_b.init({"params": jax.random.key(0)}, x, train=True)["params"])
+
+    def loss_fn(params, enc):
+        y, up = enc.apply({"params": params,
+                           "batch_stats": vs["batch_stats"]},
+                          x, train=True, mutable=["batch_stats"])
+        return jnp.sum(y * y), up["batch_stats"]
+
+    (la, sa), ga = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, enc_a), has_aux=True))(vs["params"])
+    (lb, sb), gb = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, enc_b), has_aux=True))(vs["params"])
+    assert float(la) == float(lb)
+    for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
