@@ -51,6 +51,19 @@ VARIANTS = {
     # coupling on the k stats rows and dscale/dbias come from the
     # unbiased k-sample estimator. +3.5% step time if accuracy holds.
     "stgrad": ({"bn_grad_mode": "subset_st"}, {}),
+    # --- Round-4 decomposed gate for the shipped fast path -------------
+    # (VERDICT r3 ask #3). "default" above IS the composed shipped config
+    # (subset_st + shadow bn3); these three isolate each deviation so a
+    # regression can be attributed:
+    #   exact_grad     — neither trick (exact BN backward, no shadow bn3)
+    #   stgrad_only    — subset_st alone
+    #   shadow_only    — shadow-bn3 statistics alone (exact backward)
+    "exact_grad": ({"bn_grad_mode": "exact",
+                    "bn3_shadow_stats": False}, {}),
+    "stgrad_only": ({"bn_grad_mode": "subset_st",
+                     "bn3_shadow_stats": False}, {}),
+    "shadow_only": ({"bn_grad_mode": "exact",
+                     "bn3_shadow_stats": True}, {}),
 }
 
 
@@ -132,6 +145,25 @@ def main() -> None:
         lines.append(
             f"| {r['variant']} | {r['seed']} | {r['lin_eval_top1']:.2f}% "
             f"| {delta:+.2f}% | {va} | {r['steps_per_sec']} |")
+    # Seed-aggregated means (the decision-grade view when several seeds
+    # were run): mean ± max-deviation per variant, both metrics.
+    names = list(dict.fromkeys(r["variant"] for r in rows))
+    if any(len([r for r in rows if r["variant"] == n]) > 1 for n in names):
+        import numpy as _np
+        lines += ["", "| variant | seeds | mean lin-eval top-1 | spread "
+                  "| mean aux val acc | spread |", "|---|---|---|---|---|---|"]
+        for n in names:
+            rs = [r for r in rows if r["variant"] == n]
+            t1 = _np.array([r["lin_eval_top1"] for r in rs])
+            va = _np.array([r["final_val_acc"] for r in rs
+                            if r["final_val_acc"] is not None])
+            lines.append(
+                f"| {n} | {len(rs)} | {t1.mean():.2f}% "
+                f"| ±{(t1.max() - t1.min()) / 2:.2f} "
+                f"| {va.mean():.2f}% | ±{(va.max() - va.min()) / 2:.2f} |"
+                if va.size else
+                f"| {n} | {len(rs)} | {t1.mean():.2f}% "
+                f"| ±{(t1.max() - t1.min()) / 2:.2f} | - | - |")
     (out / "parity.md").write_text("\n".join(lines) + "\n")
     print(f"artifacts in {out}")
 

@@ -58,7 +58,7 @@ def make_data(n_train, n_val, n_test, img_size=32):
 
 
 def run_reference(train_arr, val_arr, test_arr, n_epoch, batch_size,
-                  workdir, lbfgs_steps):
+                  workdir, lbfgs_steps, seed=0):
     """Execute the reference implementation's own training + lin-eval."""
     import matplotlib
     matplotlib.use("Agg")
@@ -100,7 +100,7 @@ def run_reference(train_arr, val_arr, test_arr, n_epoch, batch_size,
             mean_std=configs["cifar10_mean_std"])
         return ds
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = SimCLRMain(low_quality_img=True, configs=configs,
                        encoder_model="no_dropout")
     init_sd = {k: v.detach().cpu().numpy().copy()
@@ -164,8 +164,17 @@ def run_reference(train_arr, val_arr, test_arr, n_epoch, batch_size,
 
 
 def run_ours(init_sd, train_arr, val_arr, test_arr, n_epoch, batch_size,
-             lbfgs_steps):
-    """This framework in reference-parity mode from the ported weights."""
+             lbfgs_steps, production=False, seed=0):
+    """This framework from the ported weights.
+
+    production=False: reference-parity mode (two-pass per-view forwards,
+    full-batch BN statistics, f32 compute) — isolates objective /
+    optimizer / architecture fidelity from the performance features.
+    production=True: the SHIPPED defaults exactly as a user gets them
+    (bfloat16 compute + bf16-applied BN, bn_grad_mode='subset_st',
+    bn_stats_fraction=0.0625, bn3_shadow_stats, fused Pallas NT-Xent when
+    on a TPU, single-pass concatenated views) — the end-to-end accuracy
+    gate for the composed fast path."""
     import jax
 
     from simclr_tpu.config import Config
@@ -177,18 +186,19 @@ def run_ours(init_sd, train_arr, val_arr, test_arr, n_epoch, batch_size,
     params, batch_stats = simclr_from_torch_state_dict(init_sd)
 
     base = Config.for_dataset("cifar10")
+    model_cfg = base.model if production else dataclasses.replace(
+        base.model, compute_dtype="float32", bn_dtype="float32",
+        bn_stats_fraction=1.0, bn_grad_mode="exact")
     cfg = base.replace(
-        model=dataclasses.replace(
-            base.model, compute_dtype="float32", bn_dtype="float32",
-            bn_stats_fraction=1.0, bn_grad_mode="exact"),
+        model=model_cfg,
         train=dataclasses.replace(
             base.train, n_epoch=n_epoch, batch_size=batch_size,
-            accum_steps=1, save_ckpt=False,
+            accum_steps=1, save_ckpt=False, seed=seed,
             n_epoch_lin_eval=lbfgs_steps),
     )
     split = Split(train=DeviceDataset.from_numpy(*train_arr),
                   val=DeviceDataset.from_numpy(*val_arr))
-    res = pretrain(cfg, split=split, two_pass_views=True,
+    res = pretrain(cfg, split=split, two_pass_views=not production,
                    save_checkpoints=False, save_plots=False,
                    export_path=None,
                    init_variables={"params": params,

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Multi-seed shootout of the SHIPPED production configuration against the
+live torch reference.
+
+The round-3 shootout (scripts/reference_shootout.py) compared the
+reference to this framework in *parity mode* (two-pass views, full-batch
+BN statistics, f32). This harness compares what users actually get — the
+composed production defaults: bfloat16 compute, bf16-applied BN,
+`bn_grad_mode='subset_st'`, `bn_stats_fraction=0.0625`,
+`bn3_shadow_stats=True`, fused Pallas NT-Xent (on TPU), single-pass
+concatenated views — against the reference's own `train_simclr` +
+L-BFGS lin-eval pipeline executed live from /root/reference on torch CPU
+(reference: utils/model_utils.py:41-173, 176-297), across >=3 seeds and
+>=8 epochs from identical per-seed initial weights on identical images.
+
+PASS criteria (driver: VERDICT round-3 ask #2):
+  * mean |lin-eval top-1 delta| across seeds <= --top1_tol (1.5pp)
+  * per-epoch train-loss |delta| <= --loss_tol (0.1) for every seed
+
+Reference halves are cached per seed (ref_seed{N}.json) so re-runs of
+our side never repay the ~1-2 h/seed torch-CPU training.
+
+Artifacts: results/shootout_production/{shootout.json, README.md}.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from reference_shootout import make_data, run_ours, run_reference  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n_train", type=int, default=2048)
+    p.add_argument("--n_val", type=int, default=512)
+    p.add_argument("--n_test", type=int, default=1000)
+    p.add_argument("--n_epoch", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lbfgs_steps", type=int, default=20)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--out", default="results/shootout_production")
+    p.add_argument("--loss_tol", type=float, default=0.1,
+                   help="max |per-epoch train-loss delta|, every seed")
+    p.add_argument("--top1_tol", type=float, default=1.5,
+                   help="max MEAN |lin-eval top-1 delta| across seeds (pp)")
+    p.add_argument("--skip_reference", action="store_true",
+                   help="reuse cached ref_seed{N}.json halves")
+    args = p.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    train_arr, val_arr, test_arr = make_data(
+        args.n_train, args.n_val, args.n_test)
+
+    import numpy as np
+
+    per_seed = []
+    for seed in args.seeds:
+        ref_path = out / f"ref_seed{seed}.json"
+        sd_path = out / f"init_sd_seed{seed}.npz"
+        if args.skip_reference or (ref_path.is_file() and sd_path.is_file()):
+            ref = json.loads(ref_path.read_text())
+            with np.load(sd_path) as z:
+                init_sd = {k: z[k] for k in z.files}
+            print(f"=== seed {seed}: reference half cached ===")
+        else:
+            print(f"=== seed {seed}: reference (torch CPU, "
+                  f"/root/reference code) ===", flush=True)
+            ref, init_sd = run_reference(
+                train_arr, val_arr, test_arr, args.n_epoch,
+                args.batch_size, out.resolve(), args.lbfgs_steps,
+                seed=seed)
+            np.savez(sd_path, **init_sd)
+            ref_path.write_text(json.dumps(ref, indent=2))
+
+        print(f"=== seed {seed}: this framework (PRODUCTION config) ===",
+              flush=True)
+        ours = run_ours(init_sd, train_arr, val_arr, test_arr,
+                        args.n_epoch, args.batch_size, args.lbfgs_steps,
+                        production=True, seed=seed)
+        deltas = [round(a - b, 4) for a, b in
+                  zip(ours["train_loss"], ref["train_loss"])]
+        per_seed.append({
+            "seed": seed, "reference": ref, "ours": ours,
+            "train_loss_delta_per_epoch": deltas,
+            "max_train_loss_delta": round(max(abs(d) for d in deltas), 4),
+            "lin_eval_top1_delta": round(
+                ours["lin_eval_top1"] - ref["lin_eval_top1"], 2),
+        })
+        (out / "shootout.json").write_text(json.dumps({
+            "config": vars(args), "per_seed": per_seed}, indent=2))
+
+    mean_abs_top1 = float(np.mean(
+        [abs(s["lin_eval_top1_delta"]) for s in per_seed]))
+    mean_top1 = float(np.mean(
+        [s["lin_eval_top1_delta"] for s in per_seed]))
+    max_loss_delta = max(s["max_train_loss_delta"] for s in per_seed)
+    ok = (mean_abs_top1 <= args.top1_tol
+          and max_loss_delta <= args.loss_tol)
+
+    result = {
+        "config": vars(args),
+        "per_seed": per_seed,
+        "mean_abs_lin_eval_top1_delta_pp": round(mean_abs_top1, 3),
+        "mean_lin_eval_top1_delta_pp": round(mean_top1, 3),
+        "max_train_loss_delta": round(max_loss_delta, 4),
+        "pass": ok,
+    }
+    (out / "shootout.json").write_text(json.dumps(result, indent=2))
+
+    lines = [
+        "# Production-config shootout — shipped defaults vs the live "
+        "torch reference",
+        "",
+        f"Same per-seed initial weights (ported via `utils/torch_port`), "
+        f"same images ({args.n_train} train / {args.n_val} val / "
+        f"{args.n_test} test, hard synthetic), {args.n_epoch} epochs at "
+        f"batch {args.batch_size}, seeds {args.seeds}. Reference side "
+        "executes /root/reference's own train_simclr + L-BFGS lin-eval "
+        "on CPU torch. Our side runs the SHIPPED production defaults "
+        "(bf16 compute, bf16-applied BN, subset_st BN backward, "
+        "bn_stats_fraction=0.0625, shadow bn3 statistics, fused Pallas "
+        "NT-Xent on TPU, single-pass concatenated views) — the composed "
+        "fast path BENCH_r0x measures.",
+        "",
+        "| seed | ref lin-eval top-1 | ours lin-eval top-1 | Δ (pp) "
+        "| max per-epoch train-loss |Δ| |",
+        "|---|---|---|---|---|",
+    ]
+    for s in per_seed:
+        lines.append(
+            f"| {s['seed']} | {s['reference']['lin_eval_top1']:.2f}% "
+            f"| {s['ours']['lin_eval_top1']:.2f}% "
+            f"| {s['lin_eval_top1_delta']:+.2f} "
+            f"| {s['max_train_loss_delta']:.4f} |")
+    lines += [
+        "",
+        f"Mean |lin-eval Δ| across seeds: **{mean_abs_top1:.2f} pp** "
+        f"(tolerance {args.top1_tol}); signed mean {mean_top1:+.2f} pp.",
+        f"Max per-epoch train-loss |Δ| over all seeds/epochs: "
+        f"**{max_loss_delta:.4f}** (tolerance {args.loss_tol}).",
+        "",
+        "Per-epoch loss tables live in shootout.json (per_seed[*]).",
+        "",
+        f"**{'PASS' if ok else 'FAIL'}**",
+    ]
+    (out / "README.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps({k: result[k] for k in
+                      ("mean_abs_lin_eval_top1_delta_pp",
+                       "max_train_loss_delta", "pass")}, indent=2))
+    print("PASS" if ok else "FAIL", "| artifacts in", out)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
