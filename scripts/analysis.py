@@ -132,6 +132,50 @@ def main() -> None:
     analogy = get_representation_analogy(
         feature_fn, feature_fn, test.train, cfg)
     (out / "analogy.json").write_text(json.dumps(analogy, indent=2))
+
+    # Scalar distributions of every similarity metric (the numbers behind
+    # the KDE figures), so the artifact family is machine-checkable.
+    def _summ(a):
+        a = np.asarray(a, np.float64)
+        qs = np.quantile(a, [0.05, 0.25, 0.5, 0.75, 0.95])
+        return {"n": int(a.size), "mean": float(a.mean()),
+                "std": float(a.std()),
+                "q05": float(qs[0]), "q25": float(qs[1]),
+                "median": float(qs[2]), "q75": float(qs[3]),
+                "q95": float(qs[4])}
+
+    (out / "metrics.json").write_text(json.dumps(
+        {k: _summ(v) for k, v in metrics.items()}, indent=2))
+
+    # Gradient flow on ONE contrastive training batch from the exported
+    # weights (reference visualizations.py:245-276 plot_grad_flow, which
+    # the reference calls mid-training from notebooks).
+    print("one-batch gradient flow ...")
+    import jax.numpy as jnp
+
+    from simclr_tpu.ops.augment import augment_train_pair
+    from simclr_tpu.train.pretrain import _forward_pair, contrastive_fn
+    from simclr_tpu.utils.visualizations import (
+        flatten_grads, plot_grad_flow)
+
+    loss_fn = contrastive_fn(cfg)
+    batch = jnp.take(split.train.images,
+                     jnp.arange(min(256, int(split.train.n))), axis=0)
+    k_aug, k_drop = jax.random.split(jax.random.key(0))
+    v1, v2 = augment_train_pair(k_aug, batch, cfg.augment, cfg.dataset)
+
+    @jax.jit
+    def grad_one_batch(params, v1, v2):
+        def objective(p):
+            z1, z2, _ = _forward_pair(model, p, batch_stats, v1, v2,
+                                      k_drop, train=True, two_pass=False)
+            return loss_fn(z1, z2)[0]
+        return jax.grad(objective)(params)
+
+    grads = grad_one_batch(params, v1, v2)
+    plot_grad_flow(flatten_grads(grads),
+                   title="gradient flow (one NT-Xent batch)",
+                   save_path=str(out / "grad_flow.png"))
     print(f"artifacts in {out}")
 
 
