@@ -91,6 +91,10 @@ VARIANTS = {
     # jax.checkpoint over the bandwidth-bound 32x32 layer1 bottlenecks:
     # don't save relu1/relu2 (2x134 MB writes + reads per block), let the
     # backward recompute them from the block input it reads anyway.
+    # MEASURED (v5e, batch 1024, 60-step scans): remat1 9.79 / remat12
+    # 9.79 vs 9.78 default, identical loss — ZERO. XLA's scheduling was
+    # already rematerializing what the checkpoint boundary would delete
+    # (same finding as reluout). See docs/ROADMAP.md round-4 negatives.
     "remat1": {"remat_stages": (0,)},
     "remat12": {"remat_stages": (0, 1)},
 }
