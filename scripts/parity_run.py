@@ -98,9 +98,11 @@ def main() -> None:
     print(f"data: {'REAL ' + args.dataset if real else 'synthetic stand-in'}")
 
     rows = []
-    for name in args.variants:
-        model_over, pre_kwargs = VARIANTS[name]
-        for seed in args.seeds:
+    # Seed-outer so an interrupted run still leaves a complete variant
+    # matrix for the seeds that finished.
+    for seed in args.seeds:
+        for name in args.variants:
+            model_over, pre_kwargs = VARIANTS[name]
             cfg = base.replace(
                 model=dataclasses.replace(base.model, **model_over),
                 train=dataclasses.replace(
@@ -124,7 +126,9 @@ def main() -> None:
                 "real_data": real,
             })
             print(f"{name}[{seed}]: top1={acc:.2f}% loss={loss:.4f} "
-                  f"({res.steps_per_sec:.2f} steps/s)")
+                  f"({res.steps_per_sec:.2f} steps/s)", flush=True)
+            # Incremental write: a killed run keeps its finished rows.
+            (out / "parity.json").write_text(json.dumps(rows, indent=2))
 
     (out / "parity.json").write_text(json.dumps(rows, indent=2))
     ref = next((r for r in rows if r["variant"] == "default"), rows[0])
