@@ -57,6 +57,13 @@ VARIANTS = {
     # k-row slice (tile-contiguous streams on batch-minor layouts).
     # Measured 8.04: 16x surrogate traffic beats any tiling win.
     "stgrad_w": {"bn_grad_mode": "subset_st_w"},
+    # Round-3 subset_st surrogate form: k-row tensor padded to the full
+    # batch and added (models/norm.py st_surrogate). The batch-dim pad
+    # blocked conv input fusion on layer1's batch-on-lanes layouts,
+    # materializing a standalone 128 MB bn1-relu pass per block. The
+    # round-5 default is 'affine' (surrogate folded into [n,1,1,C]
+    # affine coefficients — no pad, same value/VJP).
+    "st_pad": {"bn_st_surrogate": "pad"},
     # optimization_barrier after each ReLU: splits the backward dgrad
     # conv out of the recomputed mask/scale elementwise chain.
     # Measured 7.26: XLA's giant cross-op fusions win again.

@@ -134,6 +134,14 @@ class ModelConfig:
     # 9.09 vs 8.75 steps/s with lin-eval 48.60 vs 48.18 mean
     # (results/parity_stgrad — equal-or-better accuracy, +4% speed).
     bn_grad_mode: str = "subset_st"
+    # subset_st surrogate form (models/norm.py SubsetBatchNorm):
+    # 'affine' = the k-sample straight-through surrogate folded into
+    # per-row affine BN coefficients ([n,1,1,C] broadcast — no batch-dim
+    # pad, keeps the apply input-fusable into the consuming conv at
+    # every layer); 'pad' = the round-3 padded-k-rows form. Identical
+    # VJP; forward identical in exact arithmetic (<=1 ulp on the k
+    # stats rows under jit — tests/test_norm.py).
+    bn_st_surrogate: str = "affine"
     # Run stride-1 identity bottlenecks as fused VMEM-resident Pallas
     # kernels (ops/pallas/bottleneck.py). None = auto: enabled on
     # single-chip TPU by init_simclr, off under meshes and on CPU.

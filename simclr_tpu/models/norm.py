@@ -65,6 +65,32 @@ class SubsetBatchNorm(nn.Module):
     #                dx = gy*a fuses into the conv backward chain and the
     #                reductions read k-row slices instead of full tensors.
     grad_mode: str = "exact"
+    # How the straight-through scale/bias surrogate enters the graph when
+    # grad_mode='subset_st' and no x_subset is supplied:
+    #  'affine' — the surrogate is folded into per-ROW affine
+    #             coefficients: y = (x - mean)*S + B with
+    #             S = sg(rsig*scale) + M*(n/k)*sg(rsig)*(scale-sg(scale)),
+    #             B = sg(bias) + M*(n/k)*(bias-sg(bias)),
+    #             M = 1[row < k] of shape [n,1,..,1]. Every difference
+    #             from the 'pad' form multiplies a primal-zero factor, so
+    #             the forward VALUE is identical in exact arithmetic
+    #             (bit-identical in eager; <=1 ulp on the k rows under
+    #             jit, where XLA may distribute the masked terms) and the
+    #             reverse-mode VJP is term-for-term identical
+    #             (tests/test_norm.py). The win is structural: no
+    #             pad/slice on the layer-sized tensor — the whole apply
+    #             is elementwise with [n,1,1,C]-broadcast coefficients,
+    #             which XLA's conv input fusion accepts at EVERY layer.
+    #             The 'pad' form's batch-dim pad blocked input fusion for
+    #             layer1's batch-on-lanes layouts, materializing a
+    #             standalone 128 MB relu pass per block (1.2 ms/step of
+    #             a 101 ms step on v5e at batch 1024).
+    #  'pad'    — the k-row surrogate tensor is padded with zeros to the
+    #             full batch and added (the round-3 formulation; still
+    #             always used when x_subset is given, where the surrogate
+    #             must read the shadow recompute rather than x's rows so
+    #             the backward never re-reads the raw conv output).
+    st_surrogate: str = "affine"
 
     @nn.compact
     def __call__(self, x, x_subset=None):
@@ -187,6 +213,25 @@ class SubsetBatchNorm(nn.Module):
             # the documented proof that BN backward is at its floor.
             mean_b = (sg(mean.astype(dt)) if self.grad_mode
                       == "subset_st_nomean" else mean.astype(dt))
+            if (self.st_surrogate == "affine" and x_subset is None
+                    and self.grad_mode != "subset_st_w"
+                    and not self.is_initializing()):
+                # Affine-mask surrogate (see the st_surrogate field doc):
+                # identical value and VJP to the pad form below, but the
+                # layer-sized tensor sees only elementwise ops with
+                # [n,1,..,1,C]-broadcast coefficients — no batch-dim pad,
+                # so the apply+relu chain stays input-fusable into the
+                # consuming conv at every layer/layout.
+                n = x.shape[0]
+                kk = min(max(int(n * self.stats_fraction),
+                             self.min_stats_samples), n)
+                est = jnp.asarray(n / kk, dt)
+                me = ((jnp.arange(n) < kk).astype(dt) * est).reshape(
+                    (n,) + (1,) * (x.ndim - 1))
+                s_row = sg(rsig_dt * scale_dt) + me * (
+                    sg(rsig_dt) * (scale_dt - sg(scale_dt)))
+                b_row = sg(bias_dt) + me * (bias_dt - sg(bias_dt))
+                return (x.astype(dt) - mean_b) * s_row + b_row
             y = (x.astype(dt) - mean_b) * sg(rsig_dt * scale_dt) \
                 + sg(bias_dt)
             if not self.is_initializing():

@@ -402,6 +402,8 @@ class ResNetEncoder(nn.Module):
     bn_fused_vjp: bool = False
     # BN backward semantics: 'exact' | 'subset_st' (models/norm.py).
     bn_grad_mode: str = "exact"
+    # subset_st surrogate form: 'affine' | 'pad' (models/norm.py).
+    bn_st_surrogate: str = "affine"
     # Run stride-1 identity bottlenecks as fused Pallas kernels
     # (ops/pallas/bottleneck.py). Single-chip TPU only — under a mesh the
     # compiler must partition the convs. Checkpoint-compatible either way.
@@ -454,7 +456,8 @@ class ResNetEncoder(nn.Module):
             stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name,
             fused_vjp=self.bn_fused_vjp,
-            grad_mode=self.bn_grad_mode, **kw)
+            grad_mode=self.bn_grad_mode,
+            st_surrogate=self.bn_st_surrogate, **kw)
 
         x = x.astype(self.dtype)
         if self.low_quality_img:
@@ -555,6 +558,7 @@ class SupervisedResNet(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_fused_vjp: bool = False
     bn_grad_mode: str = "exact"
+    bn_st_surrogate: str = "affine"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -565,5 +569,6 @@ class SupervisedResNet(nn.Module):
                           bn_axis_name=self.bn_axis_name,
                           bn_fused_vjp=self.bn_fused_vjp,
                           bn_grad_mode=self.bn_grad_mode,
+                          bn_st_surrogate=self.bn_st_surrogate,
                           name="encoder")(x, train=train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)

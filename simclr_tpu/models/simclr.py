@@ -43,6 +43,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         bn_axis_name=bn_axis_name,
         bn_fused_vjp=bool(cfg.bn_fused_vjp),
         bn_grad_mode=cfg.bn_grad_mode,
+        bn_st_surrogate=cfg.bn_st_surrogate,
         fuse_identity_blocks=bool(cfg.fuse_identity_blocks),
         fuse_min_width=cfg.fuse_min_width,
         fused_interpret=cfg.fuse_interpret,
@@ -76,6 +77,7 @@ class ProjectionHead(nn.Module):
     bn_axis_name: Optional[str] = None
     bn_fused_vjp: bool = False
     bn_grad_mode: str = "exact"
+    bn_st_surrogate: str = "affine"
 
     @nn.compact
     def __call__(self, h, train: bool = True):
@@ -85,7 +87,8 @@ class ProjectionHead(nn.Module):
             stats_fraction=self.bn_stats_fraction,
             axis_name=self.bn_axis_name,
             fused_vjp=self.bn_fused_vjp,
-            grad_mode=self.bn_grad_mode, **kw)
+            grad_mode=self.bn_grad_mode,
+            st_surrogate=self.bn_st_surrogate, **kw)
         x = h.astype(self.dtype)
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.feature_dim, dtype=self.dtype,
@@ -125,6 +128,7 @@ class SimCLR(nn.Module):
             bn_axis_name=self.bn_axis_name,
             bn_fused_vjp=bool(self.cfg.bn_fused_vjp),
             bn_grad_mode=self.cfg.bn_grad_mode,
+            bn_st_surrogate=self.cfg.bn_st_surrogate,
             name="g",
         )(h, train=train)
         return h, z

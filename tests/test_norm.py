@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import linen as nn
 
 from simclr_tpu.models.norm import SubsetBatchNorm
@@ -179,12 +180,14 @@ def test_4d_nhwc_reduction_axes():
         rtol=1e-4, atol=1e-5)
 
 
-def test_subset_st_grad_mode():
+@pytest.mark.parametrize("surrogate", ["affine", "pad"])
+def test_subset_st_grad_mode(surrogate):
     """grad_mode='subset_st' (models/norm.py): forward bit-identical to
     'exact'; dx is exactly gy*A for EVERY row (statistics are gradient
     constants, so the k stats rows lose their O(1/sqrt(m)) coupling
     terms); dscale/dbias equal the unbiased (n/k)-scaled subset
-    estimator."""
+    estimator. Both surrogate forms (affine-mask and padded-k-rows) must
+    satisfy the same analytic targets."""
     rng = np.random.default_rng(7)
     n, k = 64, 16
     shape = (n, 4, 4, 24)
@@ -195,7 +198,7 @@ def test_subset_st_grad_mode():
         return SubsetBatchNorm(use_running_average=False,
                                dtype=jnp.float32,
                                stats_fraction=k / n, min_stats_samples=k,
-                               grad_mode=mode)
+                               grad_mode=mode, st_surrogate=surrogate)
 
     vs = make("exact").init({"params": jax.random.key(0)}, x)
     # Non-trivial affine so dscale/dbias paths are exercised.
@@ -254,3 +257,63 @@ def test_subset_st_grad_mode():
     np.testing.assert_allclose(gp_st["bias"],
                                est * gk.sum(axis=(0, 1, 2)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_subset_st_affine_equals_pad_surrogate():
+    """The affine-mask surrogate (st_surrogate='affine') must be
+    bit-identical to the padded-k-rows form in the forward (every term
+    that differs multiplies an exact IEEE zero) and term-for-term equal
+    in the VJP: dx, dscale, dbias all match to f32 reduction order."""
+    rng = np.random.default_rng(11)
+    n, k = 48, 12
+    for shape in [(n, 5, 3, 16), (n, 16)]:  # conv position + head BN
+        x = jnp.asarray(rng.normal(0.5, 2.0, shape), jnp.float32)
+        gy = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        params = {"scale": jnp.asarray(rng.normal(1.0, 0.3, (16,)),
+                                       jnp.float32),
+                  "bias": jnp.asarray(rng.normal(0.0, 0.3, (16,)),
+                                      jnp.float32)}
+
+        def run(sur):
+            bn = SubsetBatchNorm(use_running_average=False,
+                                 dtype=jnp.float32,
+                                 stats_fraction=k / n,
+                                 min_stats_samples=k,
+                                 grad_mode="subset_st", st_surrogate=sur)
+            vs = bn.init({"params": jax.random.key(0)}, x)
+
+            def loss(p, x):
+                y, _ = bn.apply({"params": p,
+                                 "batch_stats": vs["batch_stats"]}, x,
+                                mutable=["batch_stats"])
+                return jnp.sum(y * gy), y
+
+            (_, y), grads = jax.jit(jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True))(params, x)
+            return np.asarray(y), jax.tree.map(np.asarray, grads)
+
+        y_a, (gp_a, gx_a) = run("affine")
+        y_p, (gp_p, gx_p) = run("pad")
+        # In EAGER evaluation the two forwards are bit-identical (every
+        # differing term multiplies an exact IEEE zero). Under jit,
+        # XLA's algebraic simplifier may distribute the masked affine
+        # terms on the k statistics rows (bias + me*(bias - bias) ->
+        # (bias + me*bias) - me*bias), introducing <=1-ulp differences
+        # there — so jitted primals compare allclose, not equal.
+        fwd = {}
+        for sur in ("affine", "pad"):
+            bn_s = SubsetBatchNorm(
+                use_running_average=False, dtype=jnp.float32,
+                stats_fraction=k / n, min_stats_samples=k,
+                grad_mode="subset_st", st_surrogate=sur)
+            vs0 = bn_s.init({"params": jax.random.key(0)}, x)
+            fwd[sur] = np.asarray(bn_s.apply(
+                {"params": params, "batch_stats": vs0["batch_stats"]},
+                x, mutable=["batch_stats"])[0])
+        np.testing.assert_array_equal(fwd["affine"], fwd["pad"])
+        np.testing.assert_allclose(y_a, y_p, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gx_a, gx_p, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gp_a["scale"], gp_p["scale"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gp_a["bias"], gp_p["bias"],
+                                   rtol=1e-5, atol=1e-5)
