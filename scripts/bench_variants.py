@@ -104,6 +104,12 @@ VARIANTS = {
     # (same finding as reluout). See docs/ROADMAP.md round-4 negatives.
     "remat1": {"remat_stages": (0,)},
     "remat12": {"remat_stages": (0, 1)},
+    # Batch-on-lanes Pallas kernel for layer1's C=64 conv2s
+    # (ops/pallas/conv64.py): K=192 merged-tap fwd/dgrad + K=batch
+    # wgrad — the three ops the round-5 profile left at 1.46-2.18x
+    # floor (5.76 ms of a 99.9 ms step).
+    "conv64": {"conv64_pallas": True},
+    "conv64_off": {"conv64_pallas": False},
 }
 
 

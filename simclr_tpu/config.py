@@ -191,6 +191,17 @@ class ModelConfig:
     winograd_conv2: bool = False
     # Run the Winograd kernel in Pallas interpret mode (CPU tests).
     winograd_interpret: bool = False
+    # Batch-on-lanes Pallas kernel for the C=64 3x3 convs (layer1 conv2,
+    # ops/pallas/conv64.py): K=192 merged-tap contraction for forward /
+    # input-gradient and a K=batch-lanes weight-gradient — the three ops
+    # XLA's emitter leaves at 1.46-2.18x floor (64 channels underfill
+    # the 128-wide MXU whichever way it slices). Shape-gated to
+    # C==64, N % 256 == 0, bf16; everywhere else the XLA conv runs with
+    # the same parameters. Only active on a TPU backend (or with
+    # conv64_interpret for CPU tests).
+    conv64_pallas: bool = False
+    # Run the conv64 kernel in Pallas interpret mode (CPU tests).
+    conv64_interpret: bool = False
     # Stages (0-based) whose bottlenecks run under jax.checkpoint —
     # backward recomputes intra-block activations instead of reading
     # saved ones (models/resnet.py remat_stages). Identical math.

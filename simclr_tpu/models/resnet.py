@@ -65,6 +65,31 @@ class WinogradConv3x3(nn.Module):
                                 w.astype(self.dtype), self.interpret)
 
 
+class PallasConv3x3C64(nn.Module):
+    """Drop-in for the stride-1 SAME 3x3 ``nn.Conv`` at C_in=C_out=64
+    (layer1 conv2): same parameter name/shape/init ("kernel",
+    (3,3,64,64)), dispatching to the batch-on-lanes Pallas kernel
+    (ops/pallas/conv64.py) on supported shapes — C==64, batch a multiple
+    of 256, bf16 — and to the plain XLA conv otherwise (model init,
+    k-row shadow-stats calls, small parity batches). Checkpoints
+    interchange freely with the nn.Conv path."""
+
+    dtype: Any = jnp.bfloat16
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from simclr_tpu.ops.pallas.conv64 import conv3x3_c64, supports
+        w = self.param("kernel", conv_kernel_init,
+                       (3, 3, x.shape[-1], 64), jnp.float32)
+        x = x.astype(self.dtype)
+        if not self.is_initializing() and supports(x.shape, x.dtype):
+            return conv3x3_c64(x, w, self.interpret)
+        return jax.lax.conv_general_dilated(
+            x, w.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 @jax.custom_vjp
 def relu_vjp_from_output(x):
     """ReLU whose VJP masks with the OUTPUT (y > 0) instead of the input
@@ -159,6 +184,10 @@ class Bottleneck(nn.Module):
     # WinogradConv3x3 above; gated to bf16 + width % 128 == 0).
     winograd_conv2: bool = False
     winograd_interpret: bool = False
+    # Batch-on-lanes Pallas kernel for width-64 stride-1 conv2
+    # (PallasConv3x3C64 above / ops/pallas/conv64.py).
+    conv64_pallas: bool = False
+    conv64_interpret: bool = False
 
     expansion: int = 4
 
@@ -203,6 +232,12 @@ class Bottleneck(nn.Module):
             conv2 = WinogradConv3x3(self.features, dtype=self.dtype,
                                     interpret=self.winograd_interpret,
                                     name="conv2")
+        elif (self.conv64_pallas and self.stride == 1
+                and self.features == 64
+                and self.dtype == jnp.bfloat16):
+            conv2 = PallasConv3x3C64(dtype=self.dtype,
+                                     interpret=self.conv64_interpret,
+                                     name="conv2")
         else:
             conv2 = nn.Conv(self.features, (3, 3),
                             strides=(self.stride, self.stride),
@@ -438,6 +473,10 @@ class ResNetEncoder(nn.Module):
     # i.e. layers 2-4 — layer1's width-64 conv2 keeps the XLA conv).
     winograd_conv2: bool = False
     winograd_interpret: bool = False
+    # Batch-on-lanes Pallas kernel for the width-64 stride-1 conv2s
+    # (layer1; ops/pallas/conv64.py — K=192 merged-tap contraction).
+    conv64_pallas: bool = False
+    conv64_interpret: bool = False
     # Stages (0-based) whose bottleneck blocks run under jax.checkpoint
     # (nn.remat): the forward saves only block boundaries and the backward
     # recomputes the intra-block activations, trading HBM writes+reads of
@@ -530,6 +569,8 @@ class ResNetEncoder(nn.Module):
                                relu_from_output=self.relu_from_output,
                                winograd_conv2=self.winograd_conv2,
                                winograd_interpret=self.winograd_interpret,
+                               conv64_pallas=self.conv64_pallas,
+                               conv64_interpret=self.conv64_interpret,
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

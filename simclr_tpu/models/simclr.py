@@ -58,6 +58,10 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
                         and (cfg.winograd_interpret
                              or jax.default_backend() == "tpu")),
         winograd_interpret=cfg.winograd_interpret,
+        conv64_pallas=(cfg.conv64_pallas
+                       and (cfg.conv64_interpret
+                            or jax.default_backend() == "tpu")),
+        conv64_interpret=cfg.conv64_interpret,
         remat_stages=tuple(cfg.remat_stages),
         name=name,
     )
