@@ -110,6 +110,12 @@ VARIANTS = {
     # floor (5.76 ms of a 99.9 ms step).
     "conv64": {"conv64_pallas": True},
     "conv64_off": {"conv64_pallas": False},
+    # Stage-gated shadow bn1/bn2: layer1 only — the round-5 profile
+    # shows one bn-apply+relu per layer1 block still materializing as a
+    # standalone 1.34 ms/step loop fusion; shadow statistics there make
+    # the apply stats-independent (epilogue-fusable) at ~6% of layer1
+    # conv1/conv2 flops in k-row recomputes.
+    "shadow12_l1": {"bn12_shadow_stages": (0,)},
 }
 
 

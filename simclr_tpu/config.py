@@ -178,6 +178,12 @@ class ModelConfig:
     bn3_shadow_stats: bool = True
     # Extend shadow statistics to bn1/bn2 and the stem BN.
     bn12_shadow_stats: bool = False
+    # Stage-gated bn1/bn2 shadow statistics (0-based stage indices; see
+    # models/resnet.py ResNetEncoder.bn12_shadow_stages). (0,) targets
+    # the one position where a bn-apply+relu still materializes as its
+    # own pass at batch 1024 (layer1; the all-stage bool measured slower
+    # in round 3 because stages 2-4 have nothing deletable).
+    bn12_shadow_stages: tuple = ()
     # ReLU backward mask from the OUTPUT tensor (y > 0) instead of the
     # fused, never-materialized pre-activation (x > 0) — bit-identical
     # values and gradients (models/resnet.relu_vjp_from_output).

@@ -464,6 +464,19 @@ class ResNetEncoder(nn.Module):
     # remaining conv->BN pair), so NO BN apply depends on a reduction of
     # its producing conv's full output.
     bn12_shadow_stats: bool = False
+    # Stage-gated variant: apply bn1/bn2 shadow statistics only in these
+    # 0-based stages. Motivation (round 5): with the affine surrogate,
+    # ONE bn-apply+relu per layer1 block still materializes as a
+    # standalone loop fusion (1.34 ms/step at batch 1024 — the 3x3
+    # conv2 declines the chain as an input fusion on layer1's
+    # batch-on-lanes layout, and the apply's dependence on its producing
+    # conv's stats reduction blocks the epilogue route). Shadowing
+    # layer1's bn1/bn2 makes the apply stats-independent so it can ride
+    # conv1/conv2's output epilogues; the k-row shadow recomputes cost
+    # ~6% of layer1 conv1+conv2 flops. The all-stages bool above
+    # measured SLOWER (9.02 vs 9.58, round 3) because stages 2-4 get
+    # pure shadow-conv cost with nothing deletable.
+    bn12_shadow_stages: Tuple[int, ...] = ()
     # ReLU backward mask from the OUTPUT (relu_vjp_from_output): the
     # backward relu masks read the materialized block activations
     # instead of keeping/recomputing the fused pre-activations.
@@ -563,7 +576,9 @@ class ResNetEncoder(nn.Module):
                                shadow_bn3=(self.bn3_shadow_stats
                                            and not self.fold_bn_scales
                                            and not self.bn_fused_vjp),
-                               shadow_bn12=(self.bn12_shadow_stats
+                               shadow_bn12=((self.bn12_shadow_stats
+                                             or stage
+                                             in self.bn12_shadow_stages)
                                             and not self.fold_bn_scales
                                             and not self.bn_fused_vjp),
                                relu_from_output=self.relu_from_output,

@@ -53,6 +53,7 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         relu_barrier=cfg.relu_barrier,
         bn3_shadow_stats=cfg.bn3_shadow_stats,
         bn12_shadow_stats=cfg.bn12_shadow_stats,
+        bn12_shadow_stages=tuple(cfg.bn12_shadow_stages),
         relu_from_output=cfg.relu_from_output,
         winograd_conv2=(cfg.winograd_conv2
                         and (cfg.winograd_interpret
