@@ -114,7 +114,9 @@ VARIANTS = {
     # shows one bn-apply+relu per layer1 block still materializing as a
     # standalone 1.34 ms/step loop fusion; shadow statistics there make
     # the apply stats-independent (epilogue-fusable) at ~6% of layer1
-    # conv1/conv2 flops in k-row recomputes.
+    # conv1/conv2 flops in k-row recomputes. Measured NEGATIVE on v5e:
+    # 9.47 vs 9.75 steps/s at batch 512 — the recomputes cost more than
+    # the deleted pass; stays off by default.
     "shadow12_l1": {"bn12_shadow_stages": (0,)},
 }
 

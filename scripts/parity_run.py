@@ -64,6 +64,14 @@ VARIANTS = {
                      "bn3_shadow_stats": False}, {}),
     "shadow_only": ({"bn_grad_mode": "exact",
                      "bn3_shadow_stats": True}, {}),
+    # Shipped default everywhere EXCEPT the projection head's two BN1d
+    # layers, which take exact autodiff gradients. Isolates whether the
+    # stgrad aux-accuracy dip (~1.3pp in results/parity_stgrad) comes
+    # from the head — the aux metric reads z, directly downstream of
+    # those BNs, and their k-sample scale/bias estimates are the
+    # noisiest in the tree while their exact reductions are free
+    # ((2N, 2048) tensors, not layer-sized activations).
+    "head_exact": ({"head_bn_grad_mode": "exact"}, {}),
 }
 
 

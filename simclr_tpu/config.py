@@ -134,6 +134,14 @@ class ModelConfig:
     # 9.09 vs 8.75 steps/s with lin-eval 48.60 vs 48.18 mean
     # (results/parity_stgrad — equal-or-better accuracy, +4% speed).
     bn_grad_mode: str = "subset_st"
+    # Projection-head override for bn_grad_mode (None = inherit). The
+    # head's BN1d layers see (2N, 2048)/(2N, 128) tensors — exact
+    # dgamma/dbeta reductions there are bandwidth-free compared with the
+    # encoder's layer-sized activations, so 'exact' here buys back the
+    # noisiest straight-through estimates (the aux-accuracy metric reads
+    # z, downstream of these BNs) at zero measurable step cost. Gated by
+    # scripts/parity_run.py variant 'head_exact'.
+    head_bn_grad_mode: "str | None" = None
     # subset_st surrogate form (models/norm.py SubsetBatchNorm):
     # 'affine' = the k-sample straight-through surrogate folded into
     # per-row affine BN coefficients ([n,1,1,C] broadcast — no batch-dim
@@ -182,7 +190,10 @@ class ModelConfig:
     # models/resnet.py ResNetEncoder.bn12_shadow_stages). (0,) targets
     # the one position where a bn-apply+relu still materializes as its
     # own pass at batch 1024 (layer1; the all-stage bool measured slower
-    # in round 3 because stages 2-4 have nothing deletable).
+    # in round 3 because stages 2-4 have nothing deletable). Measured on
+    # v5e at batch 1024 (bench_variants.py 'shadow12_l1'): 9.47 vs 9.75
+    # steps/s — NEGATIVE; the shadow k-row conv recomputes cost more
+    # than the 1.34 ms relu pass they delete, so the default stays ().
     bn12_shadow_stages: tuple = ()
     # ReLU backward mask from the OUTPUT tensor (y > 0) instead of the
     # fused, never-materialized pre-activation (x > 0) — bit-identical

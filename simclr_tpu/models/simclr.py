@@ -132,7 +132,8 @@ class SimCLR(nn.Module):
             bn_stats_fraction=self.cfg.bn_stats_fraction,
             bn_axis_name=self.bn_axis_name,
             bn_fused_vjp=bool(self.cfg.bn_fused_vjp),
-            bn_grad_mode=self.cfg.bn_grad_mode,
+            bn_grad_mode=(self.cfg.head_bn_grad_mode
+                          or self.cfg.bn_grad_mode),
             bn_st_surrogate=self.cfg.bn_st_surrogate,
             name="g",
         )(h, train=train)
