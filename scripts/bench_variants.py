@@ -118,6 +118,12 @@ VARIANTS = {
     # 9.47 vs 9.75 steps/s at batch 512 — the recomputes cost more than
     # the deleted pass; stays off by default.
     "shadow12_l1": {"bn12_shadow_stages": (0,)},
+    # Subset weight gradients (ops/subset_wgrad.py): dw from a centered
+    # row slice scaled N/k, dx exact. Deletes (1 - k/N) of the bytes AND
+    # MXU FLOPs of every wgrad conv fusion (~18 ms of the 99.9 ms step).
+    "swgrad50": {"conv_wgrad_fraction": 0.5},
+    "swgrad25": {"conv_wgrad_fraction": 0.25},
+    "swgrad125": {"conv_wgrad_fraction": 0.125},
 }
 
 

@@ -195,6 +195,20 @@ class ModelConfig:
     # steps/s — NEGATIVE; the shadow k-row conv recomputes cost more
     # than the 1.34 ms relu pass they delete, so the default stays ().
     bn12_shadow_stages: tuple = ()
+    # Subset weight gradients for the trunk convs (ops/subset_wgrad.py):
+    # each conv's dw is contracted over a centered ceil(fraction*2N)-row
+    # slice of the batch (min 64 rows; the slice spans both augmentation
+    # views) and scaled 2N/k; dx stays exact, so — unlike the removed
+    # round-3 subset-BN-backward — the estimator noise never enters the
+    # backward chain and cannot compound through depth. Statistically
+    # this is "weight gradients from a batch of k": the torch reference
+    # itself updates from 512-sample weight gradients at effective batch
+    # 512 (8 accumulated micro-batches of 64,
+    # utils/model_utils.py:109-123). 1.0 = exact (plain convs).
+    conv_wgrad_fraction: float = 1.0
+    # Floor on the wgrad slice (rows). Below this the conv short-circuits
+    # to the exact path; 64 mirrors the reference's micro-batch.
+    conv_wgrad_min_rows: int = 64
     # ReLU backward mask from the OUTPUT tensor (y > 0) instead of the
     # fused, never-materialized pre-activation (x > 0) — bit-identical
     # values and gradients (models/resnet.relu_vjp_from_output).

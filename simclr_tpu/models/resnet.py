@@ -188,8 +188,27 @@ class Bottleneck(nn.Module):
     # (PallasConv3x3C64 above / ops/pallas/conv64.py).
     conv64_pallas: bool = False
     conv64_interpret: bool = False
+    # Subset weight gradients (ops/subset_wgrad.py): dw contracted over a
+    # centered row slice of ceil(fraction*N) (min 64) instead of the full
+    # batch, scaled N/k. dx stays exact. 1.0 = plain nn.Conv.
+    wgrad_fraction: float = 1.0
+    wgrad_min_rows: int = 64
 
     expansion: int = 4
+
+    def _conv(self, features, ksize, strides, padding, name):
+        if self.wgrad_fraction >= 1.0:
+            return nn.Conv(features, ksize, strides=strides,
+                           padding=padding, use_bias=False,
+                           kernel_init=conv_kernel_init, dtype=self.dtype,
+                           name=name)
+        from simclr_tpu.ops.subset_wgrad import SubsetWgradConv
+        return SubsetWgradConv(features, ksize, strides=strides,
+                               padding=padding, dtype=self.dtype,
+                               kernel_init=conv_kernel_init,
+                               wgrad_fraction=self.wgrad_fraction,
+                               min_rows=self.wgrad_min_rows,
+                               name=name)
 
     def _post_relu(self, y):
         if self.relu_barrier:
@@ -216,9 +235,7 @@ class Bottleneck(nn.Module):
         shadow = self.shadow_bn3 and shadow_ok
         sh12 = self.shadow_bn12 and shadow_ok
 
-        conv1 = nn.Conv(self.features, (1, 1), use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name="conv1")
+        conv1 = self._conv(self.features, (1, 1), (1, 1), "SAME", "conv1")
         y = conv1(x)
         if self.bnact is not None:
             y = self.bnact(mode="relu", name="bn1")(y)
@@ -239,11 +256,9 @@ class Bottleneck(nn.Module):
                                      interpret=self.conv64_interpret,
                                      name="conv2")
         else:
-            conv2 = nn.Conv(self.features, (3, 3),
-                            strides=(self.stride, self.stride),
-                            padding=[(1, 1), (1, 1)], use_bias=False,
-                            kernel_init=conv_kernel_init, dtype=self.dtype,
-                            name="conv2")
+            conv2 = self._conv(self.features, (3, 3),
+                               (self.stride, self.stride),
+                               [(1, 1), (1, 1)], "conv2")
         y2_in = y
         y = conv2(y2_in)
         if self.bnact is not None:
@@ -252,20 +267,17 @@ class Bottleneck(nn.Module):
             y = self.norm(name="bn2")(
                 y, x_subset=conv2(y2_in[:kk]) if sh12 else None)
             y = self._relu(y)
-        conv3 = nn.Conv(self.features * self.expansion, (1, 1),
-                        use_bias=False, kernel_init=conv_kernel_init,
-                        dtype=self.dtype, name="conv3")
+        conv3 = self._conv(self.features * self.expansion, (1, 1),
+                           (1, 1), "SAME", "conv3")
         y_in = y
         y = conv3(y_in)
         y3k = conv3(y_in[:kk]) if shadow else None
 
         if residual.shape[-1] != self.features * self.expansion \
                 or self.stride != 1:
-            ds_conv = nn.Conv(
+            ds_conv = self._conv(
                 self.features * self.expansion, (1, 1),
-                strides=(self.stride, self.stride), use_bias=False,
-                kernel_init=conv_kernel_init, dtype=self.dtype,
-                name="downsample_conv")
+                (self.stride, self.stride), "SAME", "downsample_conv")
             res_in = residual
             residual = ds_conv(res_in)
             if self.bnact is not None:
@@ -490,6 +502,11 @@ class ResNetEncoder(nn.Module):
     # (layer1; ops/pallas/conv64.py — K=192 merged-tap contraction).
     conv64_pallas: bool = False
     conv64_interpret: bool = False
+    # Subset weight gradients for every trunk conv (ops/subset_wgrad.py):
+    # dw from a centered ceil(fraction*N)-row slice scaled N/k, dx exact.
+    # 1.0 = plain convs (no custom VJP anywhere).
+    conv_wgrad_fraction: float = 1.0
+    conv_wgrad_min_rows: int = 64
     # Stages (0-based) whose bottleneck blocks run under jax.checkpoint
     # (nn.remat): the forward saves only block boundaries and the backward
     # recomputes the intra-block activations, trading HBM writes+reads of
@@ -512,17 +529,26 @@ class ResNetEncoder(nn.Module):
             st_surrogate=self.bn_st_surrogate, **kw)
 
         x = x.astype(self.dtype)
+
+        def _stem(ksize, strides, padding):
+            if self.conv_wgrad_fraction >= 1.0 or not train:
+                return nn.Conv(self.width, ksize, strides=strides,
+                               padding=padding, use_bias=False,
+                               kernel_init=conv_kernel_init,
+                               dtype=self.dtype, name="stem_conv")
+            from simclr_tpu.ops.subset_wgrad import SubsetWgradConv
+            return SubsetWgradConv(self.width, ksize, strides=strides,
+                                   padding=padding, dtype=self.dtype,
+                                   kernel_init=conv_kernel_init,
+                                   wgrad_fraction=self.conv_wgrad_fraction,
+                                   min_rows=self.conv_wgrad_min_rows,
+                                   name="stem_conv")
+
         if self.low_quality_img:
             # CIFAR stem (reference: models/resnets.py:16-19).
-            stem_conv = nn.Conv(self.width, (3, 3), strides=(1, 1),
-                                padding=[(1, 1), (1, 1)], use_bias=False,
-                                kernel_init=conv_kernel_init,
-                                dtype=self.dtype, name="stem_conv")
+            stem_conv = _stem((3, 3), (1, 1), [(1, 1), (1, 1)])
         else:
-            stem_conv = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                                padding=[(3, 3), (3, 3)], use_bias=False,
-                                kernel_init=conv_kernel_init,
-                                dtype=self.dtype, name="stem_conv")
+            stem_conv = _stem((7, 7), (2, 2), [(3, 3), (3, 3)])
         stem_in = x
         x = stem_conv(stem_in)
         n = x.shape[0]
@@ -586,6 +612,9 @@ class ResNetEncoder(nn.Module):
                                winograd_interpret=self.winograd_interpret,
                                conv64_pallas=self.conv64_pallas,
                                conv64_interpret=self.conv64_interpret,
+                               wgrad_fraction=(self.conv_wgrad_fraction
+                                               if train else 1.0),
+                               wgrad_min_rows=self.conv_wgrad_min_rows,
                                name=f"layer{stage + 1}_{block}")(x)
             x = self._maybe_dropout(x)
 

@@ -55,6 +55,8 @@ def _make_encoder(cfg: ModelConfig, bn_axis_name: Optional[str], name: str):
         bn12_shadow_stats=cfg.bn12_shadow_stats,
         bn12_shadow_stages=tuple(cfg.bn12_shadow_stages),
         relu_from_output=cfg.relu_from_output,
+        conv_wgrad_fraction=cfg.conv_wgrad_fraction,
+        conv_wgrad_min_rows=cfg.conv_wgrad_min_rows,
         winograd_conv2=(cfg.winograd_conv2
                         and (cfg.winograd_interpret
                              or jax.default_backend() == "tpu")),
