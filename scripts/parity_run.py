@@ -72,6 +72,13 @@ VARIANTS = {
     # noisiest in the tree while their exact reductions are free
     # ((2N, 2048) tensors, not layer-sized activations).
     "head_exact": ({"head_bn_grad_mode": "exact"}, {}),
+    # Shipped default + subset weight gradients (ops/subset_wgrad.py).
+    # At effective batch 512 (2N=1024 rows) fraction 0.5 contracts every
+    # conv wgrad over 512 rows — the reference's own weight-gradient
+    # sample count (8 accumulated micro-batches of 64,
+    # utils/model_utils.py:109-123); 0.25 halves that again.
+    "swgrad50": ({"conv_wgrad_fraction": 0.5}, {}),
+    "swgrad25": ({"conv_wgrad_fraction": 0.25}, {}),
 }
 
 
