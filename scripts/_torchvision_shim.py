@@ -222,10 +222,36 @@ class CenterCrop:
 
 
 class RandomAffine:
-    def __init__(self, *a, **kw):
-        raise NotImplementedError(
-            "torchvision shim: RandomAffine is not needed on the "
-            "pretrain/lin-eval shootout path")
+    """Translate-only affine, reimplemented from torchvision's documented
+    behavior for the reference's supervised stack (data.py:213-216:
+    ``RandomAffine(degrees=0, translate=(0.3, 0.3))``, applied AFTER
+    ToTensor/Normalize, so the input here is a (C,H,W) float tensor).
+    torchvision samples integer pixel shifts uniformly in
+    [-round(W*tx), +round(W*tx)] x [-round(H*ty), +round(H*ty)] and
+    fills vacated pixels with 0."""
+
+    def __init__(self, degrees=0, translate=None, **kw):
+        if degrees not in (0, (0, 0)) or not translate:
+            raise NotImplementedError(
+                "torchvision shim RandomAffine: only degrees=0 + "
+                "translate (the reference's supervised stack) is "
+                "implemented")
+        self.translate = tuple(translate)
+
+    def __call__(self, t):
+        arr = t.numpy() if isinstance(t, torch.Tensor) else np.asarray(t)
+        c, h, w = arr.shape
+        max_dx = round(self.translate[0] * w)
+        max_dy = round(self.translate[1] * h)
+        tx = int(round(random.uniform(-max_dx, max_dx)))
+        ty = int(round(random.uniform(-max_dy, max_dy)))
+        out = np.zeros_like(arr)
+        src_x = slice(max(0, -tx), min(w, w - tx))
+        dst_x = slice(max(0, tx), min(w, w + tx))
+        src_y = slice(max(0, -ty), min(h, h - ty))
+        dst_y = slice(max(0, ty), min(h, h + ty))
+        out[:, dst_y, dst_x] = arr[:, src_y, src_x]
+        return torch.from_numpy(out)
 
 
 # --------------------------------------------------------------------------

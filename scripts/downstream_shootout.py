@@ -356,7 +356,16 @@ def main():
                    help="max |test-acc delta| pp for finetune/supervised "
                         "(different augmentation RNG + small data)")
     p.add_argument("--skip_reference", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="Force JAX onto the CPU so the 'ours' halves can "
+                        "run next to a chip-bound job (the comparison is "
+                        "about math, not hardware; the production shootout "
+                        "covers the on-chip path).")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
